@@ -1,0 +1,100 @@
+"""Solver configuration.
+
+The reference hard-codes all of these as compile-time constants:
+  - bank (domain) size 32        -> /root/reference/SeSchwarzPreconditioner.cpp:139
+  - 32x coarsening per level     -> cpp:124-131
+  - over-allocation ratio 1.5    -> cpp:114
+  - applied-hierarchy cap of 4   -> SeSchwarzPreconditioner.h:96, cpp:1710
+  - spatial re-sort cadence 17   -> cpp:49
+  - collision stencil budget 32/vertex -> cpp:187-188
+
+Here they are a frozen dataclass so meshes / dtypes / headroom are tunable.
+All shapes derived from a config are static under jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+def ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@dataclasses.dataclass(frozen=True)
+class SchwarzConfig:
+    """Static configuration of the multilevel additive Schwarz preconditioner."""
+
+    # Domain (bank) width: nodes per dense sub-block. 32 maps a reference GPU
+    # warp; it also keeps the dense block at 96x96 (=32*3 DOF).
+    bank_size: int = 32
+
+    # Target coarsening factor between levels (reference: 32, cpp:124-131).
+    coarsen_factor: int = 32
+
+    # Static per-level capacity headroom over the ideal size/coarsen_factor
+    # shrink. The reference over-allocates 1.5x globally (cpp:114); we give
+    # each level its own static capacity so every shape is jit-static.
+    level_headroom: float = 2.0
+
+    # Additive apply uses at most this many levels (reference: Int4 coarse
+    # table caps it at 4, cpp:1708-1717).
+    max_applied_levels: int = 4
+
+    # Morton re-sort cadence in frames (reference: every 17th, cpp:49).
+    resort_every: int = 17
+
+    # Collision stencil budget per vertex (reference: 32, cpp:187-188).
+    max_collision_per_vert: int = 32
+
+    # Iterations of mask |= reachable-or used for the in-bank transitive
+    # closure. Reachable set doubles per iteration, so ceil(log2(bank)) is
+    # exact for a 32-wide bank (reference iterates a serial ffs loop,
+    # cpp:600-614; we square a boolean adjacency matrix on the MXU).
+    closure_iters: int = 5
+
+    def __post_init__(self):
+        assert self.bank_size == 32, "bank_size is pinned to 32 (uint32 masks / 96x96 blocks)"
+        assert self.closure_iters >= math.ceil(math.log2(self.bank_size))
+
+    # ---- static level geometry ------------------------------------------
+
+    def num_levels(self, num_verts: int) -> int:
+        """Level count for an N-vertex mesh (reference ComputeLevelNums, cpp:112-135)."""
+        n_level = 1
+        level_sz = ceil_to(max(num_verts, 1), self.bank_size)
+        while level_sz > self.bank_size:
+            level_sz = ceil_to(level_sz // self.coarsen_factor, self.bank_size)
+            n_level += 1
+        return n_level
+
+    def level_capacities(self, num_verts: int) -> Tuple[int, ...]:
+        """Static per-level node capacities (multiples of bank_size).
+
+        Level 0 capacity is exact (ceil32(N)). Coarser levels get
+        ceil32(headroom * prev/coarsen_factor), floored at one bank. The
+        reference sizes levels ideally and leans on a global 1.5x slack
+        (cpp:114,134); static shapes need per-level slack instead. If real
+        clustering ever exceeds a capacity the builder reports overflow.
+        """
+        caps = [ceil_to(max(num_verts, 1), self.bank_size)]
+        for _ in range(1, self.num_levels(num_verts)):
+            ideal = caps[-1] / self.coarsen_factor
+            caps.append(max(self.bank_size, ceil_to(int(math.ceil(ideal * self.level_headroom)), self.bank_size)))
+        return tuple(caps)
+
+    def level_offsets(self, num_verts: int) -> Tuple[int, ...]:
+        """Static begin offset of each level in the concatenated node space."""
+        caps = self.level_capacities(num_verts)
+        offs = [0]
+        for c in caps:
+            offs.append(offs[-1] + c)
+        return tuple(offs)  # length num_levels+1; last entry == total_capacity
+
+    def total_capacity(self, num_verts: int) -> int:
+        return self.level_offsets(num_verts)[-1]
+
+    def num_blocks(self, num_verts: int) -> int:
+        return self.total_capacity(num_verts) // self.bank_size
