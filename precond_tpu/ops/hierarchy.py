@@ -1,0 +1,229 @@
+"""Multilevel domain hierarchy: Morton-bank clustering, fully vectorized.
+
+Reference pipeline (ReorderRealtime, /root/reference/SeSchwarzPreconditioner.cpp:415-445):
+  BuildConnectMaskL0 (cpp:447-511)      per-warp 32-bit adjacency masks
+  BuildCollisionConnection (cpp:514-563) stencil-induced extra connectivity
+  PreparePrefixSumL0 (cpp:565-628)      in-warp transitive closure + leader count
+  BuildLevel1 (cpp:630-740)             two-stage prefix sum -> level-1 cluster ids
+  per level: BuildConnectMaskLx / NextLevelCluster / PrefixSumLx /
+             ComputeNextLevel (cpp:743-1084)
+  AggregationKernel (cpp:1092-1162)     per-vertex ancestor table
+
+TPU-native re-design (no warps, no ballots, no atomics):
+  * a bank's connectivity is a boolean [32,32] adjacency matrix; all banks
+    batch into A[W,32,32];
+  * the warp ffs/ballot closure fixpoint (cpp:600-614) becomes
+    ceil(log2(32)) = 5 rounds of C |= C @ C — batched matmuls on the MXU;
+  * "leader iff no earlier lane in my component" (cpp:618-623) is a
+    masked any() over the strict lower triangle;
+  * the emulated two-stage block prefix sums (cpp:630-740, 963-1072) are
+    jnp.cumsum;
+  * neighbor "Remain" list compaction (cpp:486-491) becomes a boolean
+    remain mask over a fixed ELL neighbor table (static shapes under jit).
+
+Every level has a *static* capacity (config.level_capacities), so the whole
+build jits with static shapes; actual level sizes are traced values used
+only in masks and index arithmetic. If clustering degenerates and a level
+overflows its capacity the result carries an `overflow` flag (the reference
+would silently corrupt memory in that case; its 1.5x slack, cpp:114, plays
+the same role as our per-level headroom).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SchwarzConfig, ceil_to
+
+BANK = 32
+_TRIL_STRICT = None  # lazily built [32,32] strict-lower-triangle mask
+
+
+def _tril_strict() -> jnp.ndarray:
+    global _TRIL_STRICT
+    if _TRIL_STRICT is None:
+        i = jnp.arange(BANK)
+        _TRIL_STRICT = i[:, None] > i[None, :]
+    return _TRIL_STRICT
+
+
+class StencilPairs(NamedTuple):
+    """Cross-primitive vertex pairs of collision stencils, fine sorted space.
+
+    Flattened over stencils x (ita, itb) combos with ita in the first
+    primitive and itb in the second (cpp:534-552). `valid` masks real pairs.
+    """
+
+    a: jnp.ndarray      # i32[P]
+    b: jnp.ndarray      # i32[P]
+    valid: jnp.ndarray  # bool[P]
+
+
+class Hierarchy(NamedTuple):
+    """Cluster hierarchy over the concatenated node space.
+
+    Node ids: level l occupies [offsets[l], offsets[l] + caps[l]); a node is
+    *active* if its within-level index < level_sizes[l]. going_next maps a
+    node to its parent node id (sentinel = total capacity for top level /
+    padded nodes); the array has one extra self-loop slot at the sentinel so
+    chains can be walked with plain gathers.
+    """
+
+    going_next: jnp.ndarray     # i32[total+1]
+    coarse_space: jnp.ndarray   # i32[L, N]: row l = within-level cluster id at level l (row 0 = identity)
+    level_sizes: jnp.ndarray    # i32[L]: actual node count per level
+    overflow: jnp.ndarray       # bool[]: any level exceeded its static capacity
+
+
+def neighbor_warp_masks_to_adjacency(
+    ids_row: jnp.ndarray,
+    ids_col: jnp.ndarray,
+    contrib: jnp.ndarray,
+    num_banks: int,
+) -> jnp.ndarray:
+    """Scatter (row-node, col-node) pairs that share a bank into A[W,32,32].
+
+    ids are within-level node indices; contrib masks which pairs count.
+    Pairs whose endpoints are in different banks must be pre-masked out.
+    """
+    flat = (ids_row // BANK) * (BANK * BANK) + (ids_row % BANK) * BANK + (ids_col % BANK)
+    oob = num_banks * BANK * BANK
+    flat = jnp.where(contrib, flat, oob)
+    acc = jnp.zeros((num_banks * BANK * BANK,), jnp.int32)
+    acc = acc.at[flat.reshape(-1)].add(1, mode="drop")
+    return acc.reshape(num_banks, BANK, BANK) > 0
+
+
+def transitive_closure_inbank(adj: jnp.ndarray, iters: int) -> jnp.ndarray:
+    """C = closure(adj | I) per bank via repeated boolean squaring on the MXU.
+
+    Replaces the serial ffs fixpoint of PreparePrefixSumL0 (cpp:600-614);
+    reachable path length doubles per round, so `iters`=5 is exact for 32.
+    """
+    eye = jnp.eye(BANK, dtype=jnp.float32)
+    c = jnp.maximum(adj.astype(jnp.float32), eye[None])
+    for _ in range(iters):
+        sq = jnp.einsum("wij,wjk->wik", c, c, preferred_element_type=jnp.float32)
+        c = jnp.minimum(c + sq, 1.0)
+    return c > 0.0
+
+
+def _cluster_banks(
+    closure: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Elect leaders and number components globally.
+
+    closure: bool[W,32,32] in-bank component matrix, valid: bool[W,32]
+    (active lanes). Returns (cluster ids i32[W*32] — valid lanes only —
+    and the total cluster count). Mirrors the elected-prefix rule
+    (cpp:618-623) and two-stage prefix sums (cpp:630-740).
+    """
+    conn_valid = closure & valid[:, None, :] & valid[:, :, None]
+    earlier = jnp.any(conn_valid & _tril_strict()[None], axis=2)  # [W,32]
+    leader = valid & ~earlier
+    cnt = jnp.sum(leader, axis=1, dtype=jnp.int32)                 # [W]
+    bank_prefix = jnp.cumsum(cnt) - cnt                            # exclusive, [W]
+    lane_prefix = jnp.cumsum(leader, axis=1, dtype=jnp.int32) - leader  # [W,32]
+    # Elected lane = first member of my component (ffs of the closed mask).
+    elected = jnp.argmax(conn_valid, axis=2).astype(jnp.int32)     # [W,32]
+    cluster = bank_prefix[:, None] + jnp.take_along_axis(lane_prefix, elected, axis=1)
+    total = jnp.sum(cnt)
+    return cluster.reshape(-1), total
+
+
+def build_hierarchy(
+    nbr_idx: jnp.ndarray,
+    nbr_mask: jnp.ndarray,
+    cfg: SchwarzConfig,
+    pairs: Optional[StencilPairs] = None,
+) -> Hierarchy:
+    """Build the full cluster hierarchy from sorted-space adjacency.
+
+    nbr_idx/nbr_mask: ELL vertex adjacency in Morton-sorted order, self
+    excluded. pairs: optional collision-stencil connectivity (the reference
+    injects it at every level, cpp:421,433).
+    """
+    n = nbr_idx.shape[0]
+    levels = cfg.num_levels(n)
+    caps = cfg.level_capacities(n)
+    offs = cfg.level_offsets(n)
+    total = offs[-1]
+
+    vid = jnp.arange(n, dtype=jnp.int32)
+    going_next = jnp.full((total + 1,), total, jnp.int32)
+    level_sizes = [jnp.asarray(n, jnp.int32)]
+    coarse_rows = [vid]  # level-0 "cluster" of a vertex is itself
+    overflow = jnp.asarray(False)
+
+    # ---- level 0: in-bank adjacency over sorted vertex ids ---------------
+    w0 = caps[0] // BANK
+    u = nbr_idx
+    same_bank = (u // BANK == vid[:, None] // BANK) & nbr_mask
+    adj = neighbor_warp_masks_to_adjacency(
+        jnp.broadcast_to(vid[:, None], u.shape), u, same_bank, w0
+    )
+    remain = nbr_mask & ~same_bank
+    if pairs is not None:
+        psame = (pairs.a // BANK == pairs.b // BANK) & (pairs.a != pairs.b) & pairs.valid
+        adj = adj | neighbor_warp_masks_to_adjacency(pairs.a, pairs.b, psame, w0)
+    adj = adj | jnp.swapaxes(adj, 1, 2)
+
+    cur_ids = vid  # within-level node id of each vertex at the current level
+
+    for level in range(1, levels):
+        w = caps[level - 1] // BANK
+        valid = (jnp.arange(w * BANK, dtype=jnp.int32) < level_sizes[-1]).reshape(w, BANK)
+        closed = transitive_closure_inbank(adj, cfg.closure_iters)
+        cluster, count = _cluster_banks(closed, valid)  # i32[w*32]
+
+        overflow = overflow | (count > caps[level])
+        level_sizes.append(count.astype(jnp.int32))
+
+        # goingNext for the just-clustered level (cpp:736, 1068); static
+        # level begin offsets replace the reference's data-dependent ones.
+        node_ids = jnp.arange(w * BANK, dtype=jnp.int32)
+        parents = jnp.where(valid.reshape(-1), offs[level] + jnp.minimum(cluster, caps[level] - 1), total)
+        going_next = going_next.at[offs[level - 1] + node_ids].set(parents)
+
+        cur_ids = jnp.take(cluster, cur_ids)  # vertex -> cluster at `level`
+        coarse_rows.append(cur_ids)
+
+        if level == levels - 1:
+            break
+
+        # ---- next level's adjacency from still-unconsumed neighbors ------
+        wl = caps[level] // BANK
+        cv = cur_ids
+        cu = jnp.take(cur_ids, nbr_idx)
+        nsame = (cv[:, None] // BANK == cu // BANK) & remain & (cv[:, None] != cu)
+        adj = neighbor_warp_masks_to_adjacency(
+            jnp.broadcast_to(cv[:, None], cu.shape), cu, nsame, wl
+        )
+        remain = remain & ~((cv[:, None] // BANK == cu // BANK) & remain)
+        if pairs is not None:
+            ca = jnp.take(cur_ids, pairs.a)
+            cb = jnp.take(cur_ids, pairs.b)
+            psame = (ca // BANK == cb // BANK) & (ca != cb) & pairs.valid
+            adj = adj | neighbor_warp_masks_to_adjacency(ca, cb, psame, wl)
+        adj = adj | jnp.swapaxes(adj, 1, 2)
+
+    return Hierarchy(
+        going_next=going_next,
+        coarse_space=jnp.stack(coarse_rows),
+        level_sizes=jnp.stack(level_sizes),
+        overflow=overflow,
+    )
+
+
+def ancestor_node_ids(h: Hierarchy, cfg: SchwarzConfig, n: int) -> jnp.ndarray:
+    """coarse_tables (cpp:1092-1162): node id of each vertex's ancestor at
+    levels 1..L-1, shape i32[N, L-1] (empty second dim when L == 1)."""
+    offs = cfg.level_offsets(n)
+    rows = [offs[l] + h.coarse_space[l] for l in range(1, h.coarse_space.shape[0])]
+    if not rows:
+        return jnp.zeros((n, 0), jnp.int32)
+    return jnp.stack(rows, axis=1)

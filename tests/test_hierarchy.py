@@ -1,0 +1,225 @@
+"""Hierarchy builder invariants + exact match vs. a pure-Python simulator of
+the reference clustering semantics (PreparePrefixSumL0/BuildLevel1/
+NextLevelCluster/PrefixSumLx, cpp:565-1084)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from precond_tpu.config import SchwarzConfig
+from precond_tpu.ops import hierarchy as hi
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python reference simulator (bank = 32)
+# ---------------------------------------------------------------------------
+
+def ref_clustering(n, adj_lists, levels, pair_list=()):
+    """Simulate the reference clustering level by level.
+
+    Returns (cluster_per_level, level_sizes): cluster_per_level[l][v] is
+    vertex v's within-level cluster index at level l (l >= 1).
+    """
+    bank = 32
+    cur = list(range(n))                      # node id of each vertex at current level
+    remain = {v: list(adj_lists[v]) for v in range(n)}
+    cluster_rows, sizes = [], [n]
+    level_num = n
+    for level in range(1, levels):
+        # union within banks using unconsumed fine edges
+        parent = list(range(level_num))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for v in range(n):
+            keep = []
+            for u in remain[v]:
+                cv, cu = cur[v], cur[u]
+                if cv // bank == cu // bank:
+                    if cv != cu:
+                        union(cv, cu)
+                else:
+                    keep.append(u)
+            remain[v] = keep
+        for (a, b) in pair_list:
+            ca, cb = cur[a], cur[b]
+            if ca != cb and ca // bank == cb // bank:
+                union(ca, cb)
+
+        # leaders in id order; cluster index = rank of component's first member
+        roots = [find(x) for x in range(level_num)]
+        first_member = {}
+        cluster_of = [0] * level_num
+        for x in range(level_num):
+            r = roots[x]
+            if r not in first_member:
+                first_member[r] = len(first_member)
+            cluster_of[x] = first_member[r]
+        count = len(first_member)
+        cur = [cluster_of[cur[v]] for v in range(n)]
+        cluster_rows.append(list(cur))
+        sizes.append(count)
+        level_num = count
+    return cluster_rows, sizes
+
+
+def grid_adjacency(nx, ny):
+    n = nx * ny
+    vid = lambda i, j: i * ny + j
+    adj = [[] for _ in range(n)]
+    for i in range(nx):
+        for j in range(ny):
+            for di, dj in ((1, 0), (0, 1)):
+                if i + di < nx and j + dj < ny:
+                    a, b = vid(i, j), vid(i + di, j + dj)
+                    adj[a].append(b)
+                    adj[b].append(a)
+    return adj
+
+
+def to_ell(adj):
+    n = len(adj)
+    k = max(1, max(len(a) for a in adj))
+    idx = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, k))
+    mask = np.zeros((n, k), bool)
+    for v, lst in enumerate(adj):
+        for s, u in enumerate(lst):
+            idx[v, s] = u
+            mask[v, s] = True
+    return jnp.asarray(idx), jnp.asarray(mask)
+
+
+def build(n, adj, cfg=None, pairs=None):
+    cfg = cfg or SchwarzConfig()
+    idx, mask = to_ell(adj)
+    h = hi.build_hierarchy(idx, mask, cfg, pairs)
+    return cfg, h
+
+
+# ---------------------------------------------------------------------------
+
+def test_matches_reference_simulator_on_grid():
+    nx, ny = 12, 11  # n = 132 -> 2 levels, non-multiple of 32
+    adj = grid_adjacency(nx, ny)
+    n = nx * ny
+    cfg, h = build(n, adj)
+    levels = cfg.num_levels(n)
+    ref_rows, ref_sizes = ref_clustering(n, adj, levels)
+    assert not bool(h.overflow)
+    np.testing.assert_array_equal(np.asarray(h.level_sizes), ref_sizes[:levels])
+    for l in range(1, levels):
+        np.testing.assert_array_equal(np.asarray(h.coarse_space[l]), ref_rows[l - 1])
+
+
+def test_matches_reference_simulator_random_graph():
+    rng = np.random.default_rng(7)
+    n = 300
+    adj = [set() for _ in range(n)]
+    for _ in range(600):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            adj[a].add(int(b))
+            adj[b].add(int(a))
+    adj = [sorted(s) for s in adj]
+    # A random (non-spatial) graph barely merges, so give the static level
+    # capacities enough headroom; the default 2x targets Morton-sorted meshes.
+    cfg, h = build(n, adj, cfg=SchwarzConfig(level_headroom=32.0))
+    levels = cfg.num_levels(n)
+    ref_rows, ref_sizes = ref_clustering(n, adj, levels)
+    assert not bool(h.overflow)
+    np.testing.assert_array_equal(np.asarray(h.level_sizes), ref_sizes[:levels])
+    for l in range(1, levels):
+        np.testing.assert_array_equal(np.asarray(h.coarse_space[l]), ref_rows[l - 1])
+
+
+def test_collision_pairs_merge_clusters():
+    # Bank 0 holds two disconnected chains (0-15, 16-31), bank 1 one chain:
+    # without pairs -> 3 level-1 clusters; a cross pair inside bank 0 merges
+    # its chains -> 2 (BuildCollisionConnection semantics, cpp:514-563).
+    n = 64
+    adj = [[] for _ in range(n)]
+    for lo, hic in ((0, 15), (16, 31), (32, 63)):
+        for v in range(lo, hic):
+            adj[v].append(v + 1)
+            adj[v + 1].append(v)
+    cfg, h0 = build(n, adj)
+    assert cfg.num_levels(n) == 2
+    assert int(h0.level_sizes[1]) == 3
+    pairs = hi.StencilPairs(
+        a=jnp.asarray([3], jnp.int32), b=jnp.asarray([20], jnp.int32),
+        valid=jnp.asarray([True]),
+    )
+    _, h1 = build(n, adj, pairs=pairs)
+    assert int(h1.level_sizes[1]) == 2
+    ref_rows, ref_sizes = ref_clustering(n, adj, cfg.num_levels(n), [(3, 20)])
+    np.testing.assert_array_equal(np.asarray(h1.coarse_space[1]), ref_rows[0])
+
+
+def test_invariants_connected_mesh():
+    nx = ny = 40  # 1600 verts -> 3 levels
+    n = nx * ny
+    adj = grid_adjacency(nx, ny)
+    cfg, h = build(n, adj)
+    levels = cfg.num_levels(n)
+    assert levels == 3
+    caps = cfg.level_capacities(n)
+    offs = cfg.level_offsets(n)
+    sizes = np.asarray(h.level_sizes)
+    gn = np.asarray(h.going_next)
+    total = offs[-1]
+
+    # each level fits its capacity; the top stays within one ideal shrink
+    # (clusters never merge across banks, so 1 is not guaranteed — matches
+    # reference semantics where the top level only has ≤32-ish nodes)
+    assert np.all(sizes <= np.asarray(caps))
+    assert sizes[-1] <= 32
+    ref_rows, ref_sizes = ref_clustering(n, adj, levels)
+    np.testing.assert_array_equal(sizes, ref_sizes[:levels])
+    for l in range(1, levels):
+        np.testing.assert_array_equal(np.asarray(h.coarse_space[l]), ref_rows[l - 1])
+    # every active node's parent is an active node one level up
+    for l in range(levels - 1):
+        ids = offs[l] + np.arange(sizes[l])
+        par = gn[ids]
+        assert np.all(par >= offs[l + 1])
+        assert np.all(par < offs[l + 1] + sizes[l + 1])
+    # top level + padded nodes point at the sentinel
+    top = offs[levels - 1] + np.arange(sizes[levels - 1])
+    assert np.all(gn[top] == total)
+    assert gn[total] == total
+    # cluster sizes never exceed the bank width
+    for l in range(1, levels):
+        counts = np.bincount(np.asarray(h.coarse_space[l]))
+        # level-l clusters group level-(l-1) nodes, ≤32 each
+        prev_ids = np.asarray(h.coarse_space[l - 1])
+        uniq = {}
+        for v in range(n):
+            uniq.setdefault(int(h.coarse_space[l][v]), set()).add(int(prev_ids[v]))
+        assert max(len(s) for s in uniq.values()) <= 32
+
+    # determinism: building twice gives identical bits
+    _, h2 = build(n, adj)
+    np.testing.assert_array_equal(gn, np.asarray(h2.going_next))
+
+
+def test_ancestor_table():
+    nx = ny = 40
+    n = nx * ny
+    adj = grid_adjacency(nx, ny)
+    cfg, h = build(n, adj)
+    anc = np.asarray(hi.ancestor_node_ids(h, cfg, n))
+    offs = cfg.level_offsets(n)
+    gn = np.asarray(h.going_next)
+    # ancestor chain must equal iterated going_next
+    cur = np.arange(n)
+    for l in range(1, cfg.num_levels(n)):
+        cur = gn[cur]
+        np.testing.assert_array_equal(anc[:, l - 1], cur)
