@@ -1,0 +1,88 @@
+"""Preconditioner application  z = M⁻¹ r  (every PCG iteration).
+
+Reference: Preconditioning (cpp:100-110) =
+  BuildResidualHierarchy (cpp:1548-1598)  restriction: gather by sort map,
+                                          then child->parent accumulation
+                                          (levels >= 2 are *serial* there)
+  SchwarzLocalXSym (cpp:1600-1696)        per-block symmetric matvec
+  CollectFinalZ (cpp:1698-1719)           additive prolongation over at most
+                                          4 levels + scatter to original ids
+
+Here the whole thing is one jitted function: two gathers, L-1 level-wise
+segment scatter-adds, a batched MXU matvec, and an L-bounded gather-sum.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..config import SchwarzConfig
+from .batched_inverse import apply_block_inverse
+from .hierarchy import BANK
+
+
+class ApplyState(NamedTuple):
+    """Everything Preconditioning needs, produced once per prepare()."""
+
+    sorted_to_orig: jnp.ndarray  # i32[N]
+    orig_to_sorted: jnp.ndarray  # i32[N]
+    going_next: jnp.ndarray      # i32[total+1]
+    ancestors: jnp.ndarray       # i32[N, L-1] node ids of each vertex's ancestors
+    inv96: jnp.ndarray           # f32[B,96,96]
+    overflow: jnp.ndarray        # bool[]
+
+
+def restrict_residual(
+    r_sorted: jnp.ndarray,
+    going_next: jnp.ndarray,
+    cfg: SchwarzConfig,
+    n: int,
+) -> jnp.ndarray:
+    """Build the residual hierarchy: f32[N,3] -> f32[total,3].
+
+    Level-by-level child->parent accumulation; inactive/padded/top nodes
+    have going_next == total (sentinel) so their adds fall into a dump slot.
+    Replaces the reference's serial levels>=2 loop (cpp:1577-1591) with L-1
+    parallel segment scatter-adds.
+    """
+    levels = cfg.num_levels(n)
+    offs = cfg.level_offsets(n)
+    total = offs[-1]
+    mr = jnp.zeros((total + 1, 3), r_sorted.dtype).at[:n].set(r_sorted)
+    for l in range(levels - 1):
+        seg = slice(offs[l], offs[l + 1])
+        parents = going_next[seg]
+        mr = mr.at[parents].add(mr[seg], mode="drop")
+    return mr[:total]
+
+
+def prolong_and_collect(
+    mz: jnp.ndarray,
+    ancestors: jnp.ndarray,
+    orig_to_sorted: jnp.ndarray,
+    cfg: SchwarzConfig,
+    n: int,
+) -> jnp.ndarray:
+    """Additive multi-level sum + permute back (CollectFinalZ, cpp:1698-1719).
+
+    The reference caps the applied hierarchy at 4 levels because its
+    ancestor table is an Int4 (h:96); the cap is a config here.
+    """
+    levels = cfg.num_levels(n)
+    z = mz[:n]
+    for l in range(1, min(levels, cfg.max_applied_levels)):
+        z = z + jnp.take(mz, ancestors[:, l - 1], axis=0)
+    return jnp.take(z, orig_to_sorted, axis=0)
+
+
+def precondition(state: ApplyState, r: jnp.ndarray, cfg: SchwarzConfig) -> jnp.ndarray:
+    """z = M⁻¹ r with r, z in original vertex order. f32[N,3] -> f32[N,3]."""
+    n = r.shape[0]
+    r_sorted = jnp.take(r, state.sorted_to_orig, axis=0)
+    mr = restrict_residual(r_sorted, state.going_next, cfg, n)
+    rhs = mr.reshape(-1, 3 * BANK)                       # [B,96]
+    z96 = apply_block_inverse(state.inv96, rhs)
+    mz = z96.reshape(-1, 3)                              # [total,3]
+    return prolong_and_collect(mz, state.ancestors, state.orig_to_sorted, cfg, n)

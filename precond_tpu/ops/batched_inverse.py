@@ -1,0 +1,44 @@
+"""Batched dense inversion of the 96x96 domain Hessians.
+
+The reference runs a hand-written AVX2 in-place LDL^T Gauss elimination per
+block and emits a 4704-float packed symmetric inverse
+(LDLtInverse512, cpp:1347-1546). On TPU the same factorization is a batched
+Cholesky: blocks are SPD by construction (assembly identity-fills padded
+diagonals, cpp:1365-1367), XLA batches `cholesky`/`triangular_solve` over
+the leading axis, and the apply becomes a single MXU batched matvec against
+the explicit inverse — memory is cheap relative to the reference's
+shared-memory budget (SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def invert_spd_blocks(h96: jnp.ndarray) -> jnp.ndarray:
+    """Explicit inverses of a batch of SPD matrices. [B,96,96] -> [B,96,96].
+
+    Cholesky + two batched triangular solves; symmetrized at the end so the
+    preconditioner stays exactly symmetric (CG requires a symmetric M⁻¹).
+    """
+    b, m, _ = h96.shape
+    chol = jnp.linalg.cholesky(h96)
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=h96.dtype), (b, m, m))
+    # A^{-1} = L^{-T} L^{-1}
+    linv = jax.lax.linalg.triangular_solve(
+        chol, eye, left_side=True, lower=True, transpose_a=False
+    )
+    inv = jax.lax.linalg.triangular_solve(
+        chol, linv, left_side=True, lower=True, transpose_a=True
+    )
+    return 0.5 * (inv + jnp.swapaxes(inv, 1, 2))
+
+
+def apply_block_inverse(inv96: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """z_b = inv_b @ r_b for every block. ([B,96,96], [B,96]) -> [B,96].
+
+    This is the SchwarzLocalXSym hot kernel (cpp:1600-1696) minus the packed
+    banded layout: one batched matvec that XLA maps onto the MXU.
+    """
+    return jnp.einsum("bij,bj->bi", inv96, rhs, preferred_element_type=jnp.float32)

@@ -39,15 +39,11 @@ import jax.numpy as jnp
 from ..config import SchwarzConfig, ceil_to
 
 BANK = 32
-_TRIL_STRICT = None  # lazily built [32,32] strict-lower-triangle mask
+_TRIL_NP = __import__("numpy").tri(BANK, BANK, -1, dtype=bool)  # strict lower triangle
 
 
 def _tril_strict() -> jnp.ndarray:
-    global _TRIL_STRICT
-    if _TRIL_STRICT is None:
-        i = jnp.arange(BANK)
-        _TRIL_STRICT = i[:, None] > i[None, :]
-    return _TRIL_STRICT
+    return jnp.asarray(_TRIL_NP)
 
 
 class StencilPairs(NamedTuple):

@@ -1,0 +1,109 @@
+"""High-level 3-phase preconditioner API (allocate / prepare / apply).
+
+Mirrors the reference contract (SeSchwarzPreconditioner.h:56-63):
+  AllocatePrecoditioner  -> here: static geometry from (config, N) + the
+                            Morton sort maps (re-sorted on a cadence)
+  PreparePreconditioner  -> prepare(): hierarchy + assembly + factorization
+  Preconditioning        -> apply(): z = M⁻¹ r
+
+Everything heavy is a jitted pure function; this class only carries static
+configuration and the current device state between phases.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import SchwarzConfig
+from .ops import hierarchy as hi
+from .ops.apply import ApplyState, precondition
+from .ops.assembly import CollisionTerms, assemble_banked_hessian
+from .ops.batched_inverse import invert_spd_blocks
+from .ops.blockcsr import BlockEll, permute
+from .ops.stencils import Stencils, collision_terms, stencil_pairs
+from .utils import aabb, morton
+
+
+class SortMaps(NamedTuple):
+    sorted_to_orig: jnp.ndarray  # i32[N] (m_MapperSortedGetOriginal)
+    orig_to_sorted: jnp.ndarray  # i32[N] (m_mapperOriginalGetSorted)
+
+
+@functools.partial(jax.jit)
+def compute_sort_maps(positions: jnp.ndarray) -> SortMaps:
+    """Morton spatial sort (AllocatePrecoditioner's reorder, cpp:54-63)."""
+    box = aabb.compute_aabb(positions)
+    unit = aabb.to_unit_cube(positions, box)
+    perm = morton.argsort_morton(unit).astype(jnp.int32)
+    return SortMaps(perm, morton.inverse_permutation(perm))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def prepare_preconditioner(
+    ell: BlockEll,
+    maps: SortMaps,
+    cfg: SchwarzConfig,
+    stencils: Optional[Stencils] = None,
+) -> ApplyState:
+    """Build hierarchy, assemble banked Hessians, factorize. Fully jitted.
+
+    `ell` is the system matrix in ORIGINAL vertex order; the vertex
+    adjacency the reference takes separately (m_neighbours, h:51) is read
+    off the same ELL sparsity, which keeps the two always consistent.
+    """
+    n = ell.num_verts
+    ell_sorted = permute(ell, maps.sorted_to_orig, maps.orig_to_sorted)
+
+    pairs = None
+    terms = None
+    if stencils is not None:
+        mapped = stencils._replace(
+            idx=jnp.where(
+                stencils.valid[:, None] & (jnp.arange(5) < stencils.nverts[:, None]),
+                jnp.take(maps.orig_to_sorted, jnp.clip(stencils.idx, 0, n - 1)),
+                0,
+            )
+        )
+        pairs = stencil_pairs(mapped)
+        terms = collision_terms(mapped)
+
+    hier = hi.build_hierarchy(ell_sorted.idx, ell_sorted.mask, cfg, pairs)
+    h96 = assemble_banked_hessian(ell_sorted, hier, cfg, terms)
+    inv96 = invert_spd_blocks(h96)
+    return ApplyState(
+        sorted_to_orig=maps.sorted_to_orig,
+        orig_to_sorted=maps.orig_to_sorted,
+        going_next=hier.going_next,
+        ancestors=hi.ancestor_node_ids(hier, cfg, n),
+        inv96=inv96,
+        overflow=hier.overflow,
+    )
+
+
+class SchwarzPreconditioner:
+    """Stateful convenience wrapper over the functional phases."""
+
+    def __init__(self, cfg: SchwarzConfig = SchwarzConfig()):
+        self.cfg = cfg
+        self.frame_index = 0
+        self.maps: Optional[SortMaps] = None
+        self.state: Optional[ApplyState] = None
+
+    def allocate(self, positions: jnp.ndarray) -> None:
+        """Per-frame entry; re-sorts space on the configured cadence
+        (reference: every 17th frame, cpp:49)."""
+        if self.maps is None or self.frame_index % self.cfg.resort_every == 0:
+            self.maps = compute_sort_maps(jnp.asarray(positions))
+        self.frame_index += 1
+
+    def prepare(self, ell: BlockEll, stencils: Optional[Stencils] = None) -> None:
+        assert self.maps is not None, "call allocate() first"
+        self.state = prepare_preconditioner(ell, self.maps, self.cfg, stencils)
+
+    def apply(self, r: jnp.ndarray) -> jnp.ndarray:
+        assert self.state is not None, "call prepare() first"
+        return precondition(self.state, jnp.asarray(r), self.cfg)

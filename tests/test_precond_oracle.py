@@ -1,0 +1,101 @@
+"""Numerical oracle tests (SURVEY.md §4.3-4.4).
+
+The real correctness checks: the preconditioner applied to basis vectors
+must be symmetric PSD; exact on a single-domain problem (N <= 32 implies
+M⁻¹ = H⁻¹ modulo identity padding, cpp:1365-1367); and it must beat
+block-Jacobi inside PCG on cloth systems.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from precond_tpu.config import SchwarzConfig
+from precond_tpu.models import cloth
+from precond_tpu.ops import blockcsr
+from precond_tpu.parallel.pcg import jacobi_preconditioner, pcg
+from precond_tpu.solver import SchwarzPreconditioner
+
+
+def _setup(nx, ny, **kw):
+    mesh = cloth.make_grid(nx, ny, z_wave=0.02, **kw)
+    ell = cloth.assemble_system(mesh)
+    pre = SchwarzPreconditioner(SchwarzConfig())
+    pre.allocate(mesh.positions)
+    pre.prepare(ell)
+    return mesh, ell, pre
+
+
+def _explicit_minv(pre, n):
+    cols = []
+    for i in range(3 * n):
+        e = np.zeros((n, 3), np.float32)
+        e[i // 3, i % 3] = 1.0
+        cols.append(np.asarray(pre.apply(jnp.asarray(e))).reshape(-1))
+    return np.stack(cols, axis=1)
+
+
+def test_single_domain_exact():
+    # 5x5 grid = 25 verts <= 32: one domain, one level -> apply == H^{-1} r.
+    mesh, ell, pre = _setup(5, 5)
+    n = mesh.num_verts
+    assert not bool(pre.state.overflow)
+    dense = np.asarray(blockcsr.to_dense(ell))
+    rng = np.random.default_rng(0)
+    r = rng.standard_normal((n, 3)).astype(np.float32)
+    z = np.asarray(pre.apply(jnp.asarray(r))).reshape(-1)
+    z_ref = np.linalg.solve(dense.astype(np.float64), r.reshape(-1).astype(np.float64))
+    np.testing.assert_allclose(z, z_ref, rtol=2e-4, atol=1e-8)
+
+
+def test_minv_symmetric_psd_multilevel():
+    # 12x12 grid = 144 verts -> 2 levels; M^{-1} must be symmetric PSD.
+    mesh, ell, pre = _setup(12, 12)
+    n = mesh.num_verts
+    assert not bool(pre.state.overflow)
+    minv = _explicit_minv(pre, n).astype(np.float64)
+    asym = np.abs(minv - minv.T).max() / np.abs(minv).max()
+    assert asym < 1e-5, f"asymmetry {asym}"
+    evals = np.linalg.eigvalsh(0.5 * (minv + minv.T))
+    assert evals.min() > -1e-10 * evals.max(), f"min eig {evals.min()}"
+    # applying M^{-1} is linear: apply(a+b) == apply(a)+apply(b)
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((n, 3)).astype(np.float32)
+    b = rng.standard_normal((n, 3)).astype(np.float32)
+    zab = np.asarray(pre.apply(jnp.asarray(a + b)))
+    za = np.asarray(pre.apply(jnp.asarray(a)))
+    zb = np.asarray(pre.apply(jnp.asarray(b)))
+    np.testing.assert_allclose(zab, za + zb, rtol=1e-4, atol=1e-5)
+
+
+def test_pcg_schwarz_beats_jacobi():
+    mesh, ell, pre = _setup(24, 24)
+    n = mesh.num_verts
+    rng = np.random.default_rng(2)
+    b = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+
+    spmv = lambda x: blockcsr.spmv(ell, x)
+    res_schwarz = pcg(spmv, pre.apply, b, tol=1e-4, max_iters=500)
+    res_jacobi = pcg(spmv, jacobi_preconditioner(ell.diag), b, tol=1e-4, max_iters=500)
+
+    assert float(res_schwarz.rel_residual) <= 1e-4
+    assert float(res_jacobi.rel_residual) <= 1e-4
+    it_s, it_j = int(res_schwarz.iterations), int(res_jacobi.iterations)
+    assert it_s < it_j, f"schwarz {it_s} vs jacobi {it_j}"
+    # solution actually solves the system
+    x = res_schwarz.x
+    err = np.asarray(blockcsr.spmv(ell, x) - b)
+    assert np.linalg.norm(err) <= 1.1e-4 * np.linalg.norm(np.asarray(b))
+
+
+def test_pcg_iterations_stable_across_sizes():
+    # Multilevel Schwarz keeps iteration counts roughly flat as N grows
+    # (the whole point of the hierarchy).
+    iters = []
+    for nx in (16, 32):
+        mesh, ell, pre = _setup(nx, nx)
+        rng = np.random.default_rng(3)
+        b = jnp.asarray(rng.standard_normal((mesh.num_verts, 3)).astype(np.float32))
+        res = pcg(lambda x: blockcsr.spmv(ell, x), pre.apply, b, tol=1e-4, max_iters=500)
+        assert float(res.rel_residual) <= 1e-4
+        iters.append(int(res.iterations))
+    assert iters[1] <= 3 * iters[0] + 10, iters
