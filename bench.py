@@ -1,0 +1,137 @@
+"""Benchmark: PCG iteration throughput (SpMV + multilevel Schwarz apply).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Definitions
+-----------
+* metric value = scalar nonzeros processed per second by one PCG iteration:
+  nnz(H) (the block-ELL SpMV) + the dense bytes-equivalent nonzeros of the
+  banked inverse (the batched 96x96 symv of the preconditioner apply),
+  matching BASELINE.json's "nnz/s for SpMV + preconditioner apply".
+* vs_baseline = wall-clock speedup of the full Schwarz-PCG solve to 1e-4
+  relative residual vs. block-Jacobi PCG on the identical system (the
+  reference repo publishes no numbers — BASELINE.md — so the Jacobi solve
+  is the measurable stand-in for an unpreconditioned production baseline).
+
+Env knobs: BENCH_GRID (default 256), BENCH_ITERS (default 50).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from precond_tpu.config import SchwarzConfig
+    from precond_tpu.models import cloth
+    from precond_tpu.ops import blockcsr
+    from precond_tpu.ops.apply import precondition
+    from precond_tpu.parallel.pcg import jacobi_preconditioner, pcg
+    from precond_tpu.solver import compute_sort_maps, prepare_preconditioner
+
+    grid = int(os.environ.get("BENCH_GRID", "256"))
+    iters = int(os.environ.get("BENCH_ITERS", "50"))
+    cfg = SchwarzConfig()
+
+    # Light vertices + stiff springs: the stiffness-dominated, genuinely
+    # ill-conditioned regime real cloth sims operate in (this is where the
+    # multilevel preconditioner earns its keep).
+    mesh = cloth.make_grid(grid, grid, z_wave=0.02, mass=0.01, dt=1.0 / 60.0)
+    n = mesh.num_verts
+    ell = cloth.assemble_system(mesh)
+    maps = compute_sort_maps(jnp.asarray(mesh.positions))
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+
+    # ---- prepare (hierarchy + assembly + factorization) ------------------
+    prep = jax.jit(lambda e, m: prepare_preconditioner(e, m, cfg))
+    state = prep(ell, maps)
+    state.inv96.block_until_ready()
+    t0 = time.perf_counter()
+    state = prep(ell, maps)
+    state.inv96.block_until_ready()
+    prepare_s = time.perf_counter() - t0
+
+    # ---- iteration throughput: k fused PCG iterations --------------------
+    def k_iterations(state, b):
+        def body(_, carry):
+            x, r, p, z, rz = carry
+            q = blockcsr.spmv(ell, p)
+            alpha = rz / jnp.sum(p * q)
+            x = x + alpha * p
+            r = r - alpha * q
+            z = precondition(state, r, cfg)
+            rz_new = jnp.sum(r * z)
+            p = z + (rz_new / rz) * p
+            return (x, r, p, z, rz_new)
+
+        z0 = precondition(state, b, cfg)
+        init = (jnp.zeros_like(b), b, z0, z0, jnp.sum(b * z0))
+        return jax.lax.fori_loop(0, iters, body, init)[0]
+
+    kit = jax.jit(k_iterations)
+    kit(state, b)[0].block_until_ready()  # compile + warm
+    t0 = time.perf_counter()
+    x = kit(state, b)
+    x.block_until_ready()
+    iter_s = (time.perf_counter() - t0) / iters
+
+    nnz_spmv = int(9 * (n + int(np.asarray(ell.mask).sum())))
+    nblocks = state.inv96.shape[0]
+    nnz_apply = int(nblocks * 96 * 96)
+    nnz_per_iter = nnz_spmv + nnz_apply
+    nnz_per_s = nnz_per_iter / iter_s
+
+    # ---- solve-time speedup vs block-Jacobi ------------------------------
+    spmv = lambda v: blockcsr.spmv(ell, v)
+    solve_schwarz = jax.jit(
+        lambda st, b: pcg(spmv, lambda r: precondition(st, r, cfg), b, tol=1e-4, max_iters=2000)
+    )
+    jac = jacobi_preconditioner(ell.diag)
+    solve_jacobi = jax.jit(lambda b: pcg(spmv, jac, b, tol=1e-4, max_iters=20000))
+
+    rs = solve_schwarz(state, b)
+    rs.x.block_until_ready()
+    t0 = time.perf_counter()
+    rs = solve_schwarz(state, b)
+    rs.x.block_until_ready()
+    t_schwarz = time.perf_counter() - t0 + prepare_s
+
+    rj = solve_jacobi(b)
+    rj.x.block_until_ready()
+    t0 = time.perf_counter()
+    rj = solve_jacobi(b)
+    rj.x.block_until_ready()
+    t_jacobi = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "metric": "pcg_iteration_nnz_throughput",
+                "value": round(nnz_per_s / 1e9, 4),
+                "unit": "Gnnz/s",
+                "vs_baseline": round(t_jacobi / t_schwarz, 3),
+                "grid": grid,
+                "num_verts": n,
+                "iter_ms": round(iter_s * 1e3, 4),
+                "prepare_ms": round(prepare_s * 1e3, 2),
+                "schwarz_iters": int(rs.iterations),
+                "jacobi_iters": int(rj.iterations),
+                "schwarz_solve_ms": round(t_schwarz * 1e3, 2),
+                "jacobi_solve_ms": round(t_jacobi * 1e3, 2),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
