@@ -1,0 +1,130 @@
+"""Tet-mesh deformable body: linear-elastic FEM Hessian + implicit system.
+
+Exercises the preconditioner on volumetric adjacency (denser rows than
+cloth — the K-padding stress test of SURVEY.md §7.2 step 7). The reference
+has no models at all; its API just consumes a 3x3-block system
+(SeSchwarzPreconditioner.h:59), which this module produces for a
+deformable solid:
+
+    H = (m/dt^2) M + K,   K_ab = V (λ g_a g_b^T + μ g_b g_a^T + μ (g_a·g_b) I)
+
+with g_i the linear shape-function gradients (standard isotropic linear
+elasticity; SPD together with the mass term).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.blockcsr import BlockEll, from_coo
+
+
+class TetMesh(NamedTuple):
+    positions: np.ndarray  # f32[N,3]
+    tets: np.ndarray       # i32[T,4]
+    faces: np.ndarray      # i32[F,3] surface triangles (for collisions)
+    edges: np.ndarray      # i32[E,4] surface edges (2 endpoints + 2 opposite)
+    mass: float
+    dt: float
+    lam: float             # Lamé lambda
+    mu: float              # Lamé mu
+
+    @property
+    def num_verts(self) -> int:
+        return self.positions.shape[0]
+
+
+def make_box(nx: int, ny: int, nz: int, size: float = 1.0, mass: float = 1.0,
+             dt: float = 1.0 / 60.0, youngs: float = 1e5, poisson: float = 0.4) -> TetMesh:
+    """Box of (nx-1)(ny-1)(nz-1) cubes, 5 tets each."""
+    xs, ys, zs = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij")
+    scale = size / max(nx - 1, 1)
+    pos = np.stack([xs, ys, zs], -1).reshape(-1, 3).astype(np.float32) * scale
+    vid = lambda i, j, k: (i * ny + j) * nz + k
+
+    tets = []
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            for k in range(nz - 1):
+                c = [vid(i + a, j + b, k + d) for a in (0, 1) for b in (0, 1) for d in (0, 1)]
+                # 5-tet decomposition, parity-flipped for conformity
+                if (i + j + k) % 2 == 0:
+                    ts = [(0, 1, 2, 4), (1, 2, 3, 7), (1, 4, 5, 7), (2, 4, 6, 7), (1, 2, 4, 7)]
+                else:
+                    ts = [(0, 1, 3, 5), (0, 2, 3, 6), (0, 4, 5, 6), (3, 5, 6, 7), (0, 3, 5, 6)]
+                tets.extend(tuple(c[t] for t in tet) for tet in ts)
+    tets = np.asarray(tets, np.int32)
+
+    # surface triangles: faces appearing in exactly one tet
+    face_count = {}
+    for t in tets:
+        for f in ((t[0], t[1], t[2]), (t[0], t[1], t[3]), (t[0], t[2], t[3]), (t[1], t[2], t[3])):
+            key = tuple(sorted(map(int, f)))
+            face_count[key] = face_count.get(key, 0) + 1
+    faces = np.asarray([k for k, c in face_count.items() if c == 1], np.int32).reshape(-1, 3)
+
+    edge_opp = {}
+    for f in faces:
+        for e0, e1, opp in ((f[0], f[1], f[2]), (f[1], f[2], f[0]), (f[2], f[0], f[1])):
+            key = (min(e0, e1), max(e0, e1))
+            edge_opp.setdefault(key, []).append(int(opp))
+    edges = np.asarray(
+        [(a, b, o[0], o[1] if len(o) > 1 else -1) for (a, b), o in sorted(edge_opp.items())],
+        np.int32,
+    ).reshape(-1, 4)
+
+    lam = youngs * poisson / ((1 + poisson) * (1 - 2 * poisson))
+    mu = youngs / (2 * (1 + poisson))
+    return TetMesh(positions=pos, tets=tets, faces=faces, edges=edges,
+                   mass=mass, dt=dt, lam=lam, mu=mu)
+
+
+def element_blocks(positions: jnp.ndarray, tets: jnp.ndarray, lam: float, mu: float) -> jnp.ndarray:
+    """Per-tet 4x4 grid of 3x3 stiffness blocks. [T,4,4,3,3] (jittable)."""
+    x = jnp.take(positions, tets, axis=0)                       # [T,4,3]
+    dm = jnp.stack([x[:, 1] - x[:, 0], x[:, 2] - x[:, 0], x[:, 3] - x[:, 0]], axis=2)  # [T,3,3]
+    vol = jnp.abs(jnp.linalg.det(dm)) / 6.0
+    dminv = jnp.linalg.inv(dm)                                  # [T,3,3]
+    g123 = jnp.swapaxes(dminv, 1, 2)                            # rows -> gradients of N1..N3
+    g0 = -jnp.sum(g123, axis=1, keepdims=True)
+    g = jnp.concatenate([g0, g123], axis=1)                     # [T,4,3]
+
+    outer_ab = jnp.einsum("tai,tbj->tabij", g, g)               # g_a g_b^T
+    outer_ba = jnp.swapaxes(outer_ab, -1, -2)                   # g_b g_a^T
+    dots = jnp.einsum("tai,tbi->tab", g, g)
+    eye = jnp.eye(3)
+    ke = lam * outer_ab + mu * outer_ba + mu * dots[..., None, None] * eye
+    return vol[:, None, None, None, None] * ke
+
+
+def assemble_system(mesh: TetMesh, positions: np.ndarray | None = None) -> BlockEll:
+    pos = jnp.asarray(mesh.positions if positions is None else positions)
+    ke = np.asarray(element_blocks(pos, jnp.asarray(mesh.tets), mesh.lam, mesh.mu))
+
+    n = mesh.num_verts
+    t = mesh.tets
+    diag = np.tile((mesh.mass / mesh.dt**2) * np.eye(3, dtype=np.float32), (n, 1, 1))
+    rows, cols, vals = [], [], []
+    for a in range(4):
+        np.add.at(diag, t[:, a], ke[:, a, a])
+        for b in range(4):
+            if a != b:
+                rows.append(t[:, a])
+                cols.append(t[:, b])
+                vals.append(ke[:, a, b])
+    return from_coo(n, np.concatenate(rows), np.concatenate(cols),
+                    np.concatenate(vals, axis=0), diag)
+
+
+def adjacency_lists(mesh: TetMesh) -> list[np.ndarray]:
+    adj = [set() for _ in range(mesh.num_verts)]
+    for t in mesh.tets:
+        for a in range(4):
+            for b in range(4):
+                if a != b:
+                    adj[int(t[a])].add(int(t[b]))
+    return [np.asarray(sorted(s), np.int32) for s in adj]
