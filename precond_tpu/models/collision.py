@@ -1,0 +1,170 @@
+"""Proximity detection: produces the EF/EE/VF sets the preconditioner eats.
+
+The reference deliberately excludes detection (the host simulator passes
+already-found proximity sets, SeSchwarzPreconditioner.cpp:67-72 /
+SURVEY.md §1); a usable framework needs one. This is a vectorized
+broad+narrow phase: candidate pruning by bounding-sphere distance, exact
+point-triangle / segment-segment closest-point tests (Ericson, RTCD ch.5),
+all jittable with static candidate budgets.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.stencils import EeSets, VfSets
+
+
+def point_triangle_closest(p: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
+                           c: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closest point on triangle abc to p. Returns (bary[...,3], point).
+
+    Vectorized over leading dims; branch-free region selection.
+    """
+    ab = b - a
+    ac = c - a
+    ap = p - a
+    d1 = jnp.sum(ab * ap, -1)
+    d2 = jnp.sum(ac * ap, -1)
+    bp = p - b
+    d3 = jnp.sum(ab * bp, -1)
+    d4 = jnp.sum(ac * bp, -1)
+    cp = p - c
+    d5 = jnp.sum(ab * cp, -1)
+    d6 = jnp.sum(ac * cp, -1)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    denom_in = va + vb + vc
+
+    # interior barycentrics (guarded)
+    v_in = vb / jnp.where(denom_in != 0, denom_in, 1.0)
+    w_in = vc / jnp.where(denom_in != 0, denom_in, 1.0)
+
+    # edge/vertex regions
+    v_ab = d1 / jnp.where(d1 - d3 != 0, d1 - d3, 1.0)
+    w_ac = d2 / jnp.where(d2 - d6 != 0, d2 - d6, 1.0)
+    t_bc = (d4 - d3) / jnp.where((d4 - d3) + (d5 - d6) != 0, (d4 - d3) + (d5 - d6), 1.0)
+
+    in_a = (d1 <= 0) & (d2 <= 0)
+    in_b = (d3 >= 0) & (d4 <= d3)
+    in_c = (d6 >= 0) & (d5 <= d6)
+    on_ab = (~in_a) & (~in_b) & (~in_c) & (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    on_ac = (~in_a) & (~in_b) & (~in_c) & (~on_ab) & (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+    on_bc = (~in_a) & (~in_b) & (~in_c) & (~on_ab) & (~on_ac) & (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0)
+
+    u = jnp.where(in_a, 1.0,
+        jnp.where(in_b, 0.0,
+        jnp.where(in_c, 0.0,
+        jnp.where(on_ab, 1.0 - v_ab,
+        jnp.where(on_ac, 1.0 - w_ac,
+        jnp.where(on_bc, 0.0, 1.0 - v_in - w_in))))))
+    v = jnp.where(in_a, 0.0,
+        jnp.where(in_b, 1.0,
+        jnp.where(in_c, 0.0,
+        jnp.where(on_ab, v_ab,
+        jnp.where(on_ac, 0.0,
+        jnp.where(on_bc, 1.0 - t_bc, v_in))))))
+    w = 1.0 - u - v
+    bary = jnp.stack([u, v, w], -1)
+    point = u[..., None] * a + v[..., None] * b + w[..., None] * c
+    return bary, point
+
+
+def segment_segment_closest(p1, q1, p2, q2) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closest points of segments p1q1 / p2q2: returns (s, t) parameters."""
+    d1 = q1 - p1
+    d2 = q2 - p2
+    r = p1 - p2
+    a = jnp.sum(d1 * d1, -1)
+    e = jnp.sum(d2 * d2, -1)
+    f = jnp.sum(d2 * r, -1)
+    c = jnp.sum(d1 * r, -1)
+    b = jnp.sum(d1 * d2, -1)
+    denom = a * e - b * b
+    s = jnp.clip(jnp.where(denom != 0, (b * f - c * e) / jnp.where(denom != 0, denom, 1.0), 0.0), 0.0, 1.0)
+    t = jnp.where(e != 0, (b * s + f) / jnp.where(e != 0, e, 1.0), 0.0)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    s = jnp.clip(jnp.where(e != 0, (b * t_cl - c) / jnp.where(a != 0, a, 1.0), s), 0.0, 1.0)
+    return s, t_cl
+
+
+def detect_vf(positions: jnp.ndarray, faces: jnp.ndarray, threshold: float,
+              stiffness: float, max_pairs: int) -> VfSets:
+    """Vertex-face proximity below `threshold`, excluding the face's own
+    vertices. Static output budget `max_pairs` (invalid rows get id -1,
+    matching the reference's negative-id convention, cpp:385)."""
+    n = positions.shape[0]
+    f = faces.shape[0]
+    a = jnp.take(positions, faces[:, 0], axis=0)
+    b = jnp.take(positions, faces[:, 1], axis=0)
+    c = jnp.take(positions, faces[:, 2], axis=0)
+
+    p = positions[:, None, :]                                # [N,1,3]
+    bary, q = point_triangle_closest(p, a[None], b[None], c[None])  # [N,F,...]
+    diff = p - q
+    dist = jnp.linalg.norm(diff, axis=-1)
+    own = (faces[None, :, 0] == jnp.arange(n)[:, None]) | \
+          (faces[None, :, 1] == jnp.arange(n)[:, None]) | \
+          (faces[None, :, 2] == jnp.arange(n)[:, None])
+    hit = (dist < threshold) & ~own
+
+    flat = hit.reshape(-1)
+    score = jnp.where(flat, -dist.reshape(-1), -jnp.inf)
+    top = jax.lax.top_k(score, max_pairs)[1]
+    ok = jnp.take(flat, top)
+    vids = (top // f).astype(jnp.int32)
+    fids = (top % f).astype(jnp.int32)
+    normal = diff.reshape(-1, 3)[top]
+    nlen = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = normal / jnp.where(nlen > 1e-12, nlen, 1.0)
+    return VfSets(
+        v_id=jnp.where(ok, vids, -1),
+        f_id=jnp.where(ok, fids, -1),
+        stiff=jnp.full((max_pairs,), stiffness, jnp.float32),
+        bary=bary.reshape(-1, 3)[top][:, :2],
+        normal=normal,
+    )
+
+
+def detect_ee(positions: jnp.ndarray, edges: jnp.ndarray, threshold: float,
+              stiffness: float, max_pairs: int) -> EeSets:
+    """Edge-edge proximity below `threshold` for non-adjacent edge pairs."""
+    e = edges.shape[0]
+    p1 = jnp.take(positions, edges[:, 0], axis=0)
+    q1 = jnp.take(positions, edges[:, 1], axis=0)
+
+    s, t = segment_segment_closest(p1[:, None], q1[:, None], p1[None], q1[None])
+    c1 = p1[:, None] + s[..., None] * (q1 - p1)[:, None]
+    c2 = p1[None] + t[..., None] * (q1 - p1)[None]
+    diff = c1 - c2
+    dist = jnp.linalg.norm(diff, axis=-1)
+
+    shares = (
+        (edges[:, None, 0] == edges[None, :, 0]) | (edges[:, None, 0] == edges[None, :, 1])
+        | (edges[:, None, 1] == edges[None, :, 0]) | (edges[:, None, 1] == edges[None, :, 1])
+    )
+    upper = jnp.arange(e)[:, None] < jnp.arange(e)[None, :]
+    hit = (dist < threshold) & ~shares & upper
+
+    flat = hit.reshape(-1)
+    score = jnp.where(flat, -dist.reshape(-1), -jnp.inf)
+    top = jax.lax.top_k(score, max_pairs)[1]
+    ok = jnp.take(flat, top)
+    e0 = (top // e).astype(jnp.int32)
+    e1 = (top % e).astype(jnp.int32)
+    normal = diff.reshape(-1, 3)[top]
+    nlen = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = normal / jnp.where(nlen > 1e-12, nlen, 1.0)
+    bary = jnp.stack([s.reshape(-1)[top], t.reshape(-1)[top]], -1)
+    return EeSets(
+        e_id0=jnp.where(ok, e0, -1),
+        e_id1=jnp.where(ok, e1, -1),
+        stiff=jnp.full((max_pairs,), stiffness, jnp.float32),
+        bary=bary,
+        normal=normal,
+    )
