@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..config import SchwarzConfig
@@ -53,36 +54,54 @@ def restrict_residual(
     mr = jnp.zeros((total + 1, 3), r_sorted.dtype).at[:n].set(r_sorted)
     for l in range(levels - 1):
         seg = slice(offs[l], offs[l + 1])
-        parents = going_next[seg]
-        mr = mr.at[parents].add(mr[seg], mode="drop")
+        parents, vals = jax.lax.optimization_barrier((going_next[seg], mr[seg]))
+        mr = mr.at[parents].add(vals, mode="drop")
     return mr[:total]
 
 
 def prolong_and_collect(
     mz: jnp.ndarray,
     ancestors: jnp.ndarray,
-    orig_to_sorted: jnp.ndarray,
+    sorted_to_orig: jnp.ndarray,
+    going_next: jnp.ndarray,
     cfg: SchwarzConfig,
     n: int,
 ) -> jnp.ndarray:
     """Additive multi-level sum + permute back (CollectFinalZ, cpp:1698-1719).
 
-    The reference caps the applied hierarchy at 4 levels because its
-    ancestor table is an Int4 (h:96); the cap is a config here.
+    Top-down pre-sum: starting at the highest *applied* level (the reference
+    caps application at 4 levels — Int4 table, h:96 — the cap is a config
+    here), each node accumulates its parent's z, so the fine sum needs only
+    ONE gather from the level-1 region instead of one per level. The final
+    permutation back to original order is a scatter (unique targets), not a
+    gather — gathers are the expensive primitive on TPU.
     """
     levels = cfg.num_levels(n)
+    offs = cfg.level_offsets(n)
+    top = min(levels, cfg.max_applied_levels)  # apply levels 0..top-1
+    pz = mz
+    for l in range(top - 2, 0, -1):
+        seg = slice(offs[l], offs[l + 1])
+        parents = going_next[seg]
+        pz = pz.at[seg].add(jnp.take(pz, parents, axis=0, mode="fill", fill_value=0))
     z = mz[:n]
-    for l in range(1, min(levels, cfg.max_applied_levels)):
-        z = z + jnp.take(mz, ancestors[:, l - 1], axis=0)
-    return jnp.take(z, orig_to_sorted, axis=0)
+    if top > 1:
+        z = z + jnp.take(pz, ancestors[:, 0], axis=0)
+    tgt, vals = jax.lax.optimization_barrier((sorted_to_orig, z))
+    out = jnp.zeros_like(z)
+    return out.at[tgt].add(vals, mode="drop", unique_indices=True)
 
 
 def precondition(state: ApplyState, r: jnp.ndarray, cfg: SchwarzConfig) -> jnp.ndarray:
     """z = M⁻¹ r with r, z in original vertex order. f32[N,3] -> f32[N,3]."""
     n = r.shape[0]
-    r_sorted = jnp.take(r, state.sorted_to_orig, axis=0)
+    # permutation as scatter: r_sorted[o2s[i]] = r[i] (unique targets)
+    tgt, vals = jax.lax.optimization_barrier((state.orig_to_sorted, r))
+    r_sorted = jnp.zeros_like(r).at[tgt].add(vals, mode="drop", unique_indices=True)
     mr = restrict_residual(r_sorted, state.going_next, cfg, n)
     rhs = mr.reshape(-1, 3 * BANK)                       # [B,96]
     z96 = apply_block_inverse(state.inv96, rhs)
     mz = z96.reshape(-1, 3)                              # [total,3]
-    return prolong_and_collect(mz, state.ancestors, state.orig_to_sorted, cfg, n)
+    return prolong_and_collect(
+        mz, state.ancestors, state.sorted_to_orig, state.going_next, cfg, n
+    )

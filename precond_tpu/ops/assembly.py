@@ -33,10 +33,23 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SchwarzConfig
-from .blockcsr import BlockEll
+from .blockcsr import BlockEll, neighbor_values
 from .hierarchy import BANK, Hierarchy
 
 _EYE3 = jnp.eye(3, dtype=jnp.float32)
+
+
+def node_ancestor_table(going_next: jnp.ndarray, levels: int, total: int) -> jnp.ndarray:
+    """ANC[x, l] = x climbed l levels (sentinel-saturating). i32[total+1, L].
+
+    Precomputing ancestor chains turns the per-pair climb (cpp:1282-1287)
+    into cheap in-row arithmetic: large [N,K] tables of neighbor ancestors
+    come from the reciprocal-slot *scatter*, not per-entry gathers.
+    """
+    cols = [jnp.arange(total + 1, dtype=jnp.int32)]
+    for _ in range(1, levels):
+        cols.append(jnp.take(going_next, cols[-1]))
+    return jnp.stack(cols, axis=1)
 
 
 def common_bank_climb(
@@ -66,11 +79,15 @@ def common_bank_climb(
 
 def _scatter_blocks(acc: jnp.ndarray, flat_idx: jnp.ndarray, mats: jnp.ndarray,
                     valid: jnp.ndarray, oob: int) -> jnp.ndarray:
-    """acc[flat_idx] += mats where valid (dropped otherwise). acc: [M,3,3]."""
+    """acc[flat_idx] += mats where valid (dropped otherwise). acc: [M,3,3].
+
+    The optimization barrier keeps XLA from fusing the index/value
+    computation into the scatter (a ~900x serialization on TPU; see
+    blockcsr.scatter_accumulate).
+    """
     idx = jnp.where(valid, flat_idx, oob)
-    return acc.at[idx.reshape(-1)].add(
-        mats.reshape(-1, 3, 3), mode="drop"
-    )
+    idx, mats = jax.lax.optimization_barrier((idx.reshape(-1), mats.reshape(-1, 3, 3)))
+    return acc.at[idx].add(mats, mode="drop")
 
 
 def _chain_scatter_diag(
@@ -127,6 +144,7 @@ def assemble_banked_hessian(
     hb = jnp.zeros((total * BANK, 3, 3), jnp.float32)
     # m_additionalHessian32 (cpp:168): per-node extra diagonal from collisions.
     addl = jnp.zeros((total, 3, 3), jnp.float32)
+    anc = node_ancestor_table(gn, levels, total)  # i32[total+1, L]
 
     # ---- collisions first (PrepareCollisionHessian, cpp:1201-1227) -------
     if collisions is not None:
@@ -149,25 +167,38 @@ def assemble_banked_hessian(
         addl = _scatter_blocks(addl, pot, collisions.pair_mat, ok_up, total)
 
     # ---- CSR off-diagonals (PrepareHessian, cpp:1262-1307) ----------------
-    vid = jnp.arange(n, dtype=jnp.int32)
-    rows = jnp.broadcast_to(vid[:, None], ell_sorted.idx.shape)
-    my, ot, merged = common_bank_climb(rows, ell_sorted.idx, gn, levels, total)
-    ok = merged & ell_sorted.mask
+    # The per-pair climb is resolved against precomputed ancestor chains:
+    # neighbor ancestors arrive via the reciprocal-slot scatter (no gather).
+    myanc = anc[:n]                                     # [N, L] (contiguous slice)
+    otanc = neighbor_values(ell_sorted, myanc)          # [N, K, L]
+    eq = (myanc[:, None, :] // BANK) == (otanc // BANK)  # [N, K, L]
+    lam = jnp.argmax(eq, axis=-1).astype(jnp.int32)      # first common-bank level
+    ok = jnp.any(eq, axis=-1) & ell_sorted.mask          # unresolved pairs drop (cpp:1288-1291)
+    my = jnp.take_along_axis(jnp.broadcast_to(myanc[:, None, :], otanc.shape), lam[..., None], -1)[..., 0]
+    ot = jnp.take_along_axis(otanc, lam[..., None], -1)[..., 0]
     hb = _scatter_blocks(hb, my * BANK + ot % BANK, ell_sorted.blocks, ok, total * BANK)
     # each resolved pair compensates the diagonal chain from one level above
-    # its merge level (oldDiagonal for level 0, diagTable for deeper levels)
-    pmy = jnp.take(gn, jnp.minimum(my, total))
-    hb = _chain_scatter_diag(hb, pmy, ell_sorted.blocks, ok, gn, levels, total)
+    # its merge level (oldDiagonal for level 0, diagTable for deeper levels,
+    # cpp:1297-1343): ancestors of my above lam are exactly myanc[:, l>lam].
+    for l in range(1, levels):
+        ids = jnp.broadcast_to(myanc[:, None, l], lam.shape)
+        ok_l = ok & (lam < l) & (ids < total)
+        hb = _scatter_blocks(hb, ids * BANK + ids % BANK, ell_sorted.blocks, ok_l, total * BANK)
 
     # ---- self diagonals + fine additional, full chain (cpp:1270-1271,1309-1321)
     dself = ell_sorted.diag + addl[:n]
-    hb = _chain_scatter_diag(hb, vid, dself, jnp.ones((n,), bool), gn, levels, total)
+    for l in range(levels):
+        ids = myanc[:, l]
+        hb = _scatter_blocks(hb, ids * BANK + ids % BANK, dself, ids < total, total * BANK)
 
     # ---- coarse-node additional, full chain (cpp:1236-1252) ---------------
     coarse_off = cfg.level_offsets(n)[1] if levels > 1 else total
     if coarse_off < total:
-        cids = jnp.arange(coarse_off, total, dtype=jnp.int32)
-        hb = _chain_scatter_diag(hb, cids, addl[coarse_off:], jnp.ones_like(cids, bool), gn, levels, total)
+        canc = anc[coarse_off:total]                    # [C, L]
+        cmat = addl[coarse_off:]
+        for l in range(levels):
+            ids = canc[:, l]
+            hb = _scatter_blocks(hb, ids * BANK + ids % BANK, cmat, ids < total, total * BANK)
 
     # ---- to dense blocks, identity-fill empty diagonals (cpp:1359-1377) ---
     blocks = hb.reshape(nblocks, BANK, BANK, 3, 3)

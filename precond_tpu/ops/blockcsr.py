@@ -26,12 +26,21 @@ import numpy as np
 
 
 class BlockEll(NamedTuple):
-    """Block-sparse symmetric system matrix H (3N x 3N), ELL layout."""
+    """Block-sparse symmetric system matrix H (3N x 3N), ELL layout.
+
+    `rslot` is the reciprocal-slot table: rslot[v,k] is the slot of v inside
+    row idx[v,k]'s list (the sparsity is structurally symmetric for the
+    Hessians this framework handles). It turns every neighbor *gather* into
+    a neighbor *scatter* — row u pushing x[u] into its neighbors' slots —
+    which is an order of magnitude faster than XLA's row gather on TPU.
+    Padded slots carry rslot == K (out of bounds, dropped by scatters).
+    """
 
     diag: jnp.ndarray    # f32[N, 3, 3]
     idx: jnp.ndarray     # i32[N, K]
     blocks: jnp.ndarray  # f32[N, K, 3, 3]
     mask: jnp.ndarray    # bool[N, K]
+    rslot: jnp.ndarray   # i32[N, K]
 
     @property
     def num_verts(self) -> int:
@@ -60,53 +69,93 @@ def from_coo(
     Duplicate (row, col) entries are summed. Rows/cols are the block (vertex)
     indices; `vals` is [M,3,3]; `diag` is [N,3,3].
     """
-    rows = np.asarray(rows, np.int64)
-    cols = np.asarray(cols, np.int64)
-    vals = np.asarray(vals, np.float64)
+    from .. import native
 
-    # Coalesce duplicates.
-    key = rows * num_verts + cols
-    order = np.argsort(key, kind="stable")
-    key, rows, cols, vals = key[order], rows[order], cols[order], vals[order]
-    uniq, start = np.unique(key, return_index=True)
-    summed = np.add.reduceat(vals, start, axis=0) if len(vals) else vals
-    rows = rows[start]
-    cols = cols[start]
-
-    counts = np.bincount(rows, minlength=num_verts)
-    k = int(counts.max()) if len(counts) else 0
-    if max_degree is not None:
-        assert k <= max_degree, f"row degree {k} exceeds max_degree {max_degree}"
-        k = max_degree
-    k = max(k, 1)
-
-    idx = np.repeat(np.arange(num_verts, dtype=np.int32)[:, None], k, axis=1)
-    blocks = np.zeros((num_verts, k, 3, 3), np.float32)
-    mask = np.zeros((num_verts, k), bool)
-    slot = np.zeros(num_verts, np.int64)
-    for r, c, v in zip(rows, cols, summed):
-        s = slot[r]
-        idx[r, s] = c
-        blocks[r, s] = v
-        mask[r, s] = True
-        slot[r] += 1
-
+    idx, blocks, mask = native.coo_to_ell(
+        num_verts, np.asarray(rows), np.asarray(cols),
+        np.asarray(vals, np.float32), max_degree
+    )
     return BlockEll(
         diag=jnp.asarray(diag, jnp.float32),
         idx=jnp.asarray(idx),
         blocks=jnp.asarray(blocks),
         mask=jnp.asarray(mask),
+        rslot=jnp.asarray(reciprocal_slots(idx, mask)),
     )
+
+
+def reciprocal_slots(idx: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """rslot[v,k] = slot of v within row idx[v,k] (host, vectorized).
+
+    Requires structurally symmetric sparsity; entries without a reciprocal
+    (or padded slots) get K, the out-of-bounds sentinel.
+    """
+    idx = np.asarray(idx)
+    mask = np.asarray(mask)
+    n, k = idx.shape
+    rows = np.repeat(np.arange(n, dtype=np.int64), k)
+    cols = idx.reshape(-1).astype(np.int64)
+    slots = np.tile(np.arange(k, dtype=np.int32), n)
+    valid = mask.reshape(-1)
+    keys = rows[valid] * n + cols[valid]
+    vals = slots[valid]
+    order = np.argsort(keys, kind="stable")
+    keys_s, vals_s = keys[order], vals[order]
+    # query: slot of v inside row u, for every entry (v -> u)
+    qkeys = cols * n + rows
+    pos = np.searchsorted(keys_s, qkeys)
+    pos_c = np.minimum(pos, max(len(keys_s) - 1, 0))
+    hit = valid & (len(keys_s) > 0) & (keys_s[pos_c] == qkeys)
+    out = np.full(n * k, k, np.int32)
+    out[hit] = vals_s[pos_c[hit]]
+    return out.reshape(n, k)
+
+
+def scatter_accumulate(size: int, tgt: jnp.ndarray, vals: jnp.ndarray,
+                       unique: bool = False) -> jnp.ndarray:
+    """out[tgt[e]] += vals[e] with OOB targets dropped. The workhorse scatter.
+
+    The optimization barrier is load-bearing: without it XLA fuses the
+    index/value computation INTO the scatter and the TPU executes it
+    serially per element — measured ~900x slower on a v5e. With the
+    barrier the operands materialize first and the scatter runs at
+    HBM-bandwidth speed.
+    """
+    tgt, vals = jax.lax.optimization_barrier((tgt.reshape(-1), vals.reshape((-1,) + vals.shape[tgt.ndim:])))
+    out = jnp.zeros((size,) + vals.shape[1:], vals.dtype)
+    return out.at[tgt].add(vals, mode="drop", unique_indices=unique)
+
+
+def push_to_neighbors(idx: jnp.ndarray, mask: jnp.ndarray, rslot: jnp.ndarray,
+                      x: jnp.ndarray) -> jnp.ndarray:
+    """xg[v,k] = x[idx[v,k]] for every valid slot, WITHOUT a gather.
+
+    Symmetric-transpose trick: row u *pushes* x[u] into the reciprocal slot
+    of each of its neighbors (targets are unique by construction). On TPU
+    this scatter formulation runs orders of magnitude faster than the
+    equivalent XLA row gather. x may have any trailing shape; unwritten
+    (padded) slots are 0.
+    """
+    n, k = idx.shape
+    tgt = jnp.where(mask & (rslot < k), idx * k + rslot, n * k)
+    vals = jnp.broadcast_to(x[:, None], (n, k) + x.shape[1:])
+    out = scatter_accumulate(n * k, tgt, vals, unique=True)
+    return out.reshape((n, k) + x.shape[1:])
+
+
+def neighbor_values(h: BlockEll, x: jnp.ndarray) -> jnp.ndarray:
+    """xg[v,k] = x[idx[v,k]] via the reciprocal-slot scatter (see above)."""
+    return push_to_neighbors(h.idx, h.mask, h.rslot, x)
 
 
 def spmv(h: BlockEll, x: jnp.ndarray) -> jnp.ndarray:
     """y = H x with x, y of shape [N, 3].
 
-    One gather over the ELL index table plus two batched contractions; the
-    contraction over (K, 3) columns maps onto the MXU. Padded slots carry
-    zero blocks so no masking is needed in the inner product.
+    Neighbor exchange via the reciprocal-slot scatter plus two batched
+    contractions that map onto the MXU. Padded slots carry zero blocks so
+    no masking is needed in the inner product.
     """
-    xg = jnp.take(x, h.idx, axis=0)                      # [N, K, 3]
+    xg = neighbor_values(h, x)                           # [N, K, 3]
     off = jnp.einsum("nkij,nkj->ni", h.blocks, xg)       # [N, 3]
     dia = jnp.einsum("nij,nj->ni", h.diag, x)            # [N, 3]
     return dia + off
@@ -134,7 +183,8 @@ def permute(h: BlockEll, sorted_to_orig: jnp.ndarray, orig_to_sorted: jnp.ndarra
     idx = jnp.take(orig_to_sorted, jnp.take(h.idx, sorted_to_orig, axis=0))
     blocks = jnp.take(h.blocks, sorted_to_orig, axis=0)
     mask = jnp.take(h.mask, sorted_to_orig, axis=0)
+    rslot = jnp.take(h.rslot, sorted_to_orig, axis=0)  # in-row slots are permutation-invariant
     # Padded slots must keep pointing at their own (new) row.
     own = jnp.broadcast_to(jnp.arange(idx.shape[0], dtype=idx.dtype)[:, None], idx.shape)
     idx = jnp.where(mask, idx, own)
-    return BlockEll(diag=diag, idx=idx, blocks=blocks, mask=mask)
+    return BlockEll(diag=diag, idx=idx, blocks=blocks, mask=mask, rslot=rslot)

@@ -88,8 +88,11 @@ def neighbor_warp_masks_to_adjacency(
     flat = (ids_row // BANK) * (BANK * BANK) + (ids_row % BANK) * BANK + (ids_col % BANK)
     oob = num_banks * BANK * BANK
     flat = jnp.where(contrib, flat, oob)
+    # barrier: keep XLA from fusing the index math into the scatter
+    # (serializes on TPU; see blockcsr.scatter_accumulate)
+    flat = jax.lax.optimization_barrier(flat.reshape(-1))
     acc = jnp.zeros((num_banks * BANK * BANK,), jnp.int32)
-    acc = acc.at[flat.reshape(-1)].add(1, mode="drop")
+    acc = acc.at[flat].add(1, mode="drop")
     return acc.reshape(num_banks, BANK, BANK) > 0
 
 
@@ -136,12 +139,14 @@ def build_hierarchy(
     nbr_mask: jnp.ndarray,
     cfg: SchwarzConfig,
     pairs: Optional[StencilPairs] = None,
+    nbr_rslot: Optional[jnp.ndarray] = None,
 ) -> Hierarchy:
     """Build the full cluster hierarchy from sorted-space adjacency.
 
     nbr_idx/nbr_mask: ELL vertex adjacency in Morton-sorted order, self
     excluded. pairs: optional collision-stencil connectivity (the reference
-    injects it at every level, cpp:421,433).
+    injects it at every level, cpp:421,433). nbr_rslot enables the
+    reciprocal-slot scatter for neighbor cluster-id lookups (fast path).
     """
     n = nbr_idx.shape[0]
     levels = cfg.num_levels(n)
@@ -194,7 +199,12 @@ def build_hierarchy(
         # ---- next level's adjacency from still-unconsumed neighbors ------
         wl = caps[level] // BANK
         cv = cur_ids
-        cu = jnp.take(cur_ids, nbr_idx)
+        if nbr_rslot is not None:
+            from .blockcsr import push_to_neighbors
+
+            cu = push_to_neighbors(nbr_idx, nbr_mask, nbr_rslot, cur_ids)
+        else:
+            cu = jnp.take(cur_ids, nbr_idx)
         nsame = (cv[:, None] // BANK == cu // BANK) & remain & (cv[:, None] != cu)
         adj = neighbor_warp_masks_to_adjacency(
             jnp.broadcast_to(cv[:, None], cu.shape), cu, nsame, wl
