@@ -36,22 +36,25 @@ class ApplyState(NamedTuple):
 
 
 def restrict_residual(
-    r_sorted: jnp.ndarray,
+    r: jnp.ndarray,
+    orig_to_sorted: jnp.ndarray,
     going_next: jnp.ndarray,
     cfg: SchwarzConfig,
     n: int,
 ) -> jnp.ndarray:
-    """Build the residual hierarchy: f32[N,3] -> f32[total,3].
+    """Build the residual hierarchy: f32[N,3] (original order) -> f32[total,3].
 
-    Level-by-level child->parent accumulation; inactive/padded/top nodes
-    have going_next == total (sentinel) so their adds fall into a dump slot.
-    Replaces the reference's serial levels>=2 loop (cpp:1577-1591) with L-1
-    parallel segment scatter-adds.
+    The sort permutation is fused into the first scatter (r lands directly
+    on its sorted slot), then level-by-level child->parent accumulation;
+    inactive/padded/top nodes have going_next == total (sentinel) so their
+    adds fall in a dump slot. Replaces the reference's gather + serial
+    levels>=2 loop (cpp:1558-1591) with L parallel scatter-adds.
     """
     levels = cfg.num_levels(n)
     offs = cfg.level_offsets(n)
     total = offs[-1]
-    mr = jnp.zeros((total + 1, 3), r_sorted.dtype).at[:n].set(r_sorted)
+    tgt, vals = jax.lax.optimization_barrier((orig_to_sorted, r))
+    mr = jnp.zeros((total + 1, 3), r.dtype).at[tgt].add(vals, mode="drop", unique_indices=True)
     for l in range(levels - 1):
         seg = slice(offs[l], offs[l + 1])
         parents, vals = jax.lax.optimization_barrier((going_next[seg], mr[seg]))
@@ -95,10 +98,7 @@ def prolong_and_collect(
 def precondition(state: ApplyState, r: jnp.ndarray, cfg: SchwarzConfig) -> jnp.ndarray:
     """z = M⁻¹ r with r, z in original vertex order. f32[N,3] -> f32[N,3]."""
     n = r.shape[0]
-    # permutation as scatter: r_sorted[o2s[i]] = r[i] (unique targets)
-    tgt, vals = jax.lax.optimization_barrier((state.orig_to_sorted, r))
-    r_sorted = jnp.zeros_like(r).at[tgt].add(vals, mode="drop", unique_indices=True)
-    mr = restrict_residual(r_sorted, state.going_next, cfg, n)
+    mr = restrict_residual(r, state.orig_to_sorted, state.going_next, cfg, n)
     rhs = mr.reshape(-1, 3 * BANK)                       # [B,96]
     z96 = apply_block_inverse(state.inv96, rhs)
     mz = z96.reshape(-1, 3)                              # [total,3]

@@ -141,10 +141,20 @@ def assemble_banked_hessian(
     nblocks = total // BANK
     gn = hier.going_next
 
-    hb = jnp.zeros((total * BANK, 3, 3), jnp.float32)
     # m_additionalHessian32 (cpp:168): per-node extra diagonal from collisions.
     addl = jnp.zeros((total, 3, 3), jnp.float32)
     anc = node_ancestor_table(gn, levels, total)  # i32[total+1, L]
+
+    # All bank contributions accumulate into ONE scatter: (flat slot, 3x3
+    # mat, valid) triples are concatenated and issued together — sequential
+    # scatter ops each pay a fixed serialization cost on TPU, so op count,
+    # not element count, dominates the assembly wall-clock.
+    slots, mats, valids = [], [], []
+
+    def emit(flat_idx, mat, valid):
+        slots.append(flat_idx.reshape(-1))
+        mats.append(mat.reshape(-1, 3, 3))
+        valids.append(valid.reshape(-1))
 
     # ---- collisions first (PrepareCollisionHessian, cpp:1201-1227) -------
     if collisions is not None:
@@ -156,15 +166,16 @@ def assemble_banked_hessian(
         )
         ok = merged & collisions.pair_valid
         # symmetric into the shared bank (cpp:1181-1182)
-        hb = _scatter_blocks(hb, my * BANK + ot % BANK, collisions.pair_mat, ok, total * BANK)
-        hb = _scatter_blocks(hb, ot * BANK + my % BANK, collisions.pair_mat, ok, total * BANK)
+        emit(my * BANK + ot % BANK, collisions.pair_mat, ok)
+        emit(ot * BANK + my % BANK, collisions.pair_mat, ok)
         # parent diagonal compensation one level further up (cpp:1184-1198);
         # when parents coincide the two adds give the reference's 2x.
         pmy = jnp.take(gn, jnp.minimum(my, total))
         pot = jnp.take(gn, jnp.minimum(ot, total))
         ok_up = ok & (pmy < total)
-        addl = _scatter_blocks(addl, pmy, collisions.pair_mat, ok_up, total)
-        addl = _scatter_blocks(addl, pot, collisions.pair_mat, ok_up, total)
+        addl = _scatter_blocks(addl, jnp.concatenate([pmy, pot]),
+                               jnp.concatenate([collisions.pair_mat] * 2),
+                               jnp.concatenate([ok_up, ok_up]), total)
 
     # ---- CSR off-diagonals (PrepareHessian, cpp:1262-1307) ----------------
     # The per-pair climb is resolved against precomputed ancestor chains:
@@ -176,20 +187,19 @@ def assemble_banked_hessian(
     ok = jnp.any(eq, axis=-1) & ell_sorted.mask          # unresolved pairs drop (cpp:1288-1291)
     my = jnp.take_along_axis(jnp.broadcast_to(myanc[:, None, :], otanc.shape), lam[..., None], -1)[..., 0]
     ot = jnp.take_along_axis(otanc, lam[..., None], -1)[..., 0]
-    hb = _scatter_blocks(hb, my * BANK + ot % BANK, ell_sorted.blocks, ok, total * BANK)
+    emit(my * BANK + ot % BANK, ell_sorted.blocks, ok)
     # each resolved pair compensates the diagonal chain from one level above
     # its merge level (oldDiagonal for level 0, diagTable for deeper levels,
     # cpp:1297-1343): ancestors of my above lam are exactly myanc[:, l>lam].
     for l in range(1, levels):
         ids = jnp.broadcast_to(myanc[:, None, l], lam.shape)
-        ok_l = ok & (lam < l) & (ids < total)
-        hb = _scatter_blocks(hb, ids * BANK + ids % BANK, ell_sorted.blocks, ok_l, total * BANK)
+        emit(ids * BANK + ids % BANK, ell_sorted.blocks, ok & (lam < l) & (ids < total))
 
     # ---- self diagonals + fine additional, full chain (cpp:1270-1271,1309-1321)
     dself = ell_sorted.diag + addl[:n]
     for l in range(levels):
         ids = myanc[:, l]
-        hb = _scatter_blocks(hb, ids * BANK + ids % BANK, dself, ids < total, total * BANK)
+        emit(ids * BANK + ids % BANK, dself, ids < total)
 
     # ---- coarse-node additional, full chain (cpp:1236-1252) ---------------
     coarse_off = cfg.level_offsets(n)[1] if levels > 1 else total
@@ -198,7 +208,15 @@ def assemble_banked_hessian(
         cmat = addl[coarse_off:]
         for l in range(levels):
             ids = canc[:, l]
-            hb = _scatter_blocks(hb, ids * BANK + ids % BANK, cmat, ids < total, total * BANK)
+            emit(ids * BANK + ids % BANK, cmat, ids < total)
+
+    hb = _scatter_blocks(
+        jnp.zeros((total * BANK, 3, 3), jnp.float32),
+        jnp.concatenate(slots),
+        jnp.concatenate(mats),
+        jnp.concatenate(valids),
+        total * BANK,
+    )
 
     # ---- to dense blocks, identity-fill empty diagonals (cpp:1359-1377) ---
     blocks = hb.reshape(nblocks, BANK, BANK, 3, 3)

@@ -151,11 +151,13 @@ def neighbor_values(h: BlockEll, x: jnp.ndarray) -> jnp.ndarray:
 def spmv(h: BlockEll, x: jnp.ndarray) -> jnp.ndarray:
     """y = H x with x, y of shape [N, 3].
 
-    Neighbor exchange via the reciprocal-slot scatter plus two batched
-    contractions that map onto the MXU. Padded slots carry zero blocks so
-    no masking is needed in the inner product.
+    One row gather over the ELL table plus two batched contractions.
+    (A reciprocal-slot scatter variant was benchmarked head-to-head inside
+    jit chains on the v5e and lost ~10x to the gather for this access
+    pattern, so the gather stays — see neighbor_values for where the
+    scatter form wins: wide per-row payloads in the assembly phase.)
     """
-    xg = neighbor_values(h, x)                           # [N, K, 3]
+    xg = jnp.take(x, h.idx, axis=0)                      # [N, K, 3]
     off = jnp.einsum("nkij,nkj->ni", h.blocks, xg)       # [N, 3]
     dia = jnp.einsum("nij,nj->ni", h.diag, x)            # [N, 3]
     return dia + off
