@@ -36,25 +36,23 @@ class ApplyState(NamedTuple):
 
 
 def restrict_residual(
-    r: jnp.ndarray,
-    orig_to_sorted: jnp.ndarray,
+    r_sorted: jnp.ndarray,
     going_next: jnp.ndarray,
     cfg: SchwarzConfig,
     n: int,
 ) -> jnp.ndarray:
-    """Build the residual hierarchy: f32[N,3] (original order) -> f32[total,3].
+    """Build the residual hierarchy: f32[N,3] (sorted order) -> f32[total,3].
 
-    The sort permutation is fused into the first scatter (r lands directly
-    on its sorted slot), then level-by-level child->parent accumulation;
+    Level-by-level child->parent scatter-add accumulation (a true
+    many-to-one reduction, the one place a scatter is the right primitive);
     inactive/padded/top nodes have going_next == total (sentinel) so their
-    adds fall in a dump slot. Replaces the reference's gather + serial
-    levels>=2 loop (cpp:1558-1591) with L parallel scatter-adds.
+    adds fall in a dump slot. Replaces the reference's serial levels>=2
+    loop (cpp:1577-1591) with L-1 parallel sweeps.
     """
     levels = cfg.num_levels(n)
     offs = cfg.level_offsets(n)
     total = offs[-1]
-    tgt, vals = jax.lax.optimization_barrier((orig_to_sorted, r))
-    mr = jnp.zeros((total + 1, 3), r.dtype).at[tgt].add(vals, mode="drop", unique_indices=True)
+    mr = jnp.zeros((total + 1, 3), r_sorted.dtype).at[:n].set(r_sorted)
     for l in range(levels - 1):
         seg = slice(offs[l], offs[l + 1])
         parents, vals = jax.lax.optimization_barrier((going_next[seg], mr[seg]))
@@ -90,18 +88,19 @@ def prolong_and_collect(
     z = mz[:n]
     if top > 1:
         z = z + jnp.take(pz, ancestors[:, 0], axis=0)
-    tgt, vals = jax.lax.optimization_barrier((sorted_to_orig, z))
-    out = jnp.zeros_like(z)
-    return out.at[tgt].add(vals, mode="drop", unique_indices=True)
+    del sorted_to_orig  # caller permutes back with a gather
+    return z
 
 
 def precondition(state: ApplyState, r: jnp.ndarray, cfg: SchwarzConfig) -> jnp.ndarray:
     """z = M⁻¹ r with r, z in original vertex order. f32[N,3] -> f32[N,3]."""
     n = r.shape[0]
-    mr = restrict_residual(r, state.orig_to_sorted, state.going_next, cfg, n)
+    r_sorted = jnp.take(r, state.sorted_to_orig, axis=0)
+    mr = restrict_residual(r_sorted, state.going_next, cfg, n)
     rhs = mr.reshape(-1, 3 * BANK)                       # [B,96]
     z96 = apply_block_inverse(state.inv96, rhs)
     mz = z96.reshape(-1, 3)                              # [total,3]
-    return prolong_and_collect(
+    z_sorted = prolong_and_collect(
         mz, state.ancestors, state.sorted_to_orig, state.going_next, cfg, n
     )
+    return jnp.take(z_sorted, state.orig_to_sorted, axis=0)

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SchwarzConfig
-from .blockcsr import BlockEll, neighbor_values
+from .blockcsr import BlockEll
 from .hierarchy import BANK, Hierarchy
 
 _EYE3 = jnp.eye(3, dtype=jnp.float32)
@@ -178,10 +178,11 @@ def assemble_banked_hessian(
                                jnp.concatenate([ok_up, ok_up]), total)
 
     # ---- CSR off-diagonals (PrepareHessian, cpp:1262-1307) ----------------
-    # The per-pair climb is resolved against precomputed ancestor chains:
-    # neighbor ancestors arrive via the reciprocal-slot scatter (no gather).
+    # The per-pair climb is resolved against precomputed ancestor chains
+    # (one row gather replaces the levels x [N,K] gather loop of the naive
+    # climb).
     myanc = anc[:n]                                     # [N, L] (contiguous slice)
-    otanc = neighbor_values(ell_sorted, myanc)          # [N, K, L]
+    otanc = jnp.take(anc, ell_sorted.idx, axis=0)       # [N, K, L]
     eq = (myanc[:, None, :] // BANK) == (otanc // BANK)  # [N, K, L]
     lam = jnp.argmax(eq, axis=-1).astype(jnp.int32)      # first common-bank level
     ok = jnp.any(eq, axis=-1) & ell_sorted.mask          # unresolved pairs drop (cpp:1288-1291)
@@ -190,10 +191,15 @@ def assemble_banked_hessian(
     emit(my * BANK + ot % BANK, ell_sorted.blocks, ok)
     # each resolved pair compensates the diagonal chain from one level above
     # its merge level (oldDiagonal for level 0, diagTable for deeper levels,
-    # cpp:1297-1343): ancestors of my above lam are exactly myanc[:, l>lam].
+    # cpp:1297-1343). All of row v's level-l chain targets are the same node
+    # (myanc[v,l]), so contributions pre-reduce over K — one [N] scatter
+    # entry per level instead of [N,K] (scatter entries cost ~10x a gather
+    # row on TPU; entry count is the knob).
     for l in range(1, levels):
-        ids = jnp.broadcast_to(myanc[:, None, l], lam.shape)
-        emit(ids * BANK + ids % BANK, ell_sorted.blocks, ok & (lam < l) & (ids < total))
+        sel = (ok & (lam < l)).astype(ell_sorted.blocks.dtype)
+        mat_l = jnp.einsum("nk,nkab->nab", sel, ell_sorted.blocks)
+        ids = myanc[:, l]
+        emit(ids * BANK + ids % BANK, mat_l, ids < total)
 
     # ---- self diagonals + fine additional, full chain (cpp:1270-1271,1309-1321)
     dself = ell_sorted.diag + addl[:n]

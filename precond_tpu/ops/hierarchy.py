@@ -139,14 +139,12 @@ def build_hierarchy(
     nbr_mask: jnp.ndarray,
     cfg: SchwarzConfig,
     pairs: Optional[StencilPairs] = None,
-    nbr_rslot: Optional[jnp.ndarray] = None,
 ) -> Hierarchy:
     """Build the full cluster hierarchy from sorted-space adjacency.
 
     nbr_idx/nbr_mask: ELL vertex adjacency in Morton-sorted order, self
     excluded. pairs: optional collision-stencil connectivity (the reference
-    injects it at every level, cpp:421,433). nbr_rslot enables the
-    reciprocal-slot scatter for neighbor cluster-id lookups (fast path).
+    injects it at every level, cpp:421,433).
     """
     n = nbr_idx.shape[0]
     levels = cfg.num_levels(n)
@@ -199,12 +197,7 @@ def build_hierarchy(
         # ---- next level's adjacency from still-unconsumed neighbors ------
         wl = caps[level] // BANK
         cv = cur_ids
-        if nbr_rslot is not None:
-            from .blockcsr import push_to_neighbors
-
-            cu = push_to_neighbors(nbr_idx, nbr_mask, nbr_rslot, cur_ids)
-        else:
-            cu = jnp.take(cur_ids, nbr_idx)
+        cu = jnp.take(cur_ids, nbr_idx)
         nsame = (cv[:, None] // BANK == cu // BANK) & remain & (cv[:, None] != cu)
         adj = neighbor_warp_masks_to_adjacency(
             jnp.broadcast_to(cv[:, None], cu.shape), cu, nsame, wl

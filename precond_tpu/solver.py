@@ -71,9 +71,7 @@ def prepare_preconditioner(
         pairs = stencil_pairs(mapped)
         terms = collision_terms(mapped)
 
-    hier = hi.build_hierarchy(
-        ell_sorted.idx, ell_sorted.mask, cfg, pairs, nbr_rslot=ell_sorted.rslot
-    )
+    hier = hi.build_hierarchy(ell_sorted.idx, ell_sorted.mask, cfg, pairs)
     h96 = assemble_banked_hessian(ell_sorted, hier, cfg, terms)
     inv96 = invert_spd_blocks(h96)
     return ApplyState(
