@@ -131,6 +131,58 @@ def detect_vf(positions: jnp.ndarray, faces: jnp.ndarray, threshold: float,
     )
 
 
+def detect_ef(positions: jnp.ndarray, edges: jnp.ndarray, faces: jnp.ndarray,
+              threshold: float, stiffness: float, max_pairs: int) -> "EfSets":
+    """Edge-face proximity: edge midspan points near (or crossing) a face.
+
+    Samples the edge at its closest approach to each triangle plane and
+    reports pairs below `threshold`, excluding edges sharing a vertex with
+    the face. Bary layout matches EfSet (SeCollisionElements.h:33-40):
+    (x) along the edge, (y,z) on the face.
+    """
+    from ..ops.stencils import EfSets
+
+    e = edges.shape[0]
+    f = faces.shape[0]
+    p0 = jnp.take(positions, edges[:, 0], axis=0)
+    p1 = jnp.take(positions, edges[:, 1], axis=0)
+    mid = 0.5 * (p0 + p1)
+
+    a = jnp.take(positions, faces[:, 0], axis=0)
+    b = jnp.take(positions, faces[:, 1], axis=0)
+    c = jnp.take(positions, faces[:, 2], axis=0)
+
+    bary, q = point_triangle_closest(mid[:, None], a[None], b[None], c[None])  # [E,F,..]
+    diff = mid[:, None] - q
+    dist = jnp.linalg.norm(diff, axis=-1)
+
+    shares = jnp.zeros((e, f), bool)
+    for ei in range(2):
+        for fi in range(3):
+            shares = shares | (edges[:, None, ei] == faces[None, :, fi])
+    hit = (dist < threshold) & ~shares
+
+    flat = hit.reshape(-1)
+    score = jnp.where(flat, -dist.reshape(-1), -jnp.inf)
+    top = jax.lax.top_k(score, max_pairs)[1]
+    ok = jnp.take(flat, top)
+    eids = (top // f).astype(jnp.int32)
+    fids = (top % f).astype(jnp.int32)
+    normal = diff.reshape(-1, 3)[top]
+    nlen = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = normal / jnp.where(nlen > 1e-12, nlen, 1.0)
+    bf = bary.reshape(-1, 3)[top]
+    # (edge t = 0.5 at midspan sample, face y,z)
+    bary3 = jnp.concatenate([jnp.full((max_pairs, 1), 0.5, jnp.float32), bf[:, :2]], axis=1)
+    return EfSets(
+        e_id=jnp.where(ok, eids, -1),
+        f_id=jnp.where(ok, fids, -1),
+        stiff=jnp.full((max_pairs,), stiffness, jnp.float32),
+        bary=bary3,
+        normal=normal,
+    )
+
+
 def detect_ee(positions: jnp.ndarray, edges: jnp.ndarray, threshold: float,
               stiffness: float, max_pairs: int) -> EeSets:
     """Edge-edge proximity below `threshold` for non-adjacent edge pairs."""

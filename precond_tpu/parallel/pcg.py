@@ -72,6 +72,47 @@ def pcg(
     return PcgResult(x=x, iterations=it, rel_residual=rel)
 
 
+def pcg_with_history(
+    spmv: Callable[[jnp.ndarray], jnp.ndarray],
+    precond: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    num_iters: int,
+    x0: Optional[jnp.ndarray] = None,
+    reduce_sum: Callable[[jnp.ndarray], jnp.ndarray] = _identity_reduce,
+):
+    """Fixed-iteration PCG recording the relative-residual curve.
+
+    Returns (x, rel_residuals f32[num_iters]). The curve is the
+    convergence-fidelity artifact BASELINE.md asks to compare against the
+    reference algorithm (SURVEY.md §4.4).
+    """
+
+    def dot(u, v):
+        return reduce_sum(jnp.sum(u * v))
+
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - spmv(x)
+    z = precond(r)
+    p = z
+    rz = dot(r, z)
+    bnorm = jnp.sqrt(jnp.maximum(dot(b, b), 1e-30))
+
+    def body(carry, _):
+        x, r, p, z, rz = carry
+        q = spmv(p)
+        alpha = rz / dot(p, q)
+        x = x + alpha * p
+        r = r - alpha * q
+        z = precond(r)
+        rz_new = dot(r, z)
+        p = z + (rz_new / rz) * p
+        rel = jnp.sqrt(dot(r, r)) / bnorm
+        return (x, r, p, z, rz_new), rel
+
+    (x, r, p, z, rz), curve = jax.lax.scan(body, (x, r, p, z, rz), None, length=num_iters)
+    return x, curve
+
+
 def jacobi_preconditioner(diag: jnp.ndarray) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Block-Jacobi (3x3 diagonal inverse) baseline preconditioner."""
     inv = jnp.linalg.inv(diag)
