@@ -74,26 +74,48 @@ class Hierarchy(NamedTuple):
     overflow: jnp.ndarray       # bool[]: any level exceeded its static capacity
 
 
+def lane_bitmask_rows(ids_col: jnp.ndarray, contrib: jnp.ndarray) -> jnp.ndarray:
+    """Per-row 32-wide lane masks: out[r, j] = any slot with ids_col%32 == j.
+
+    Pre-reduces each row's neighbor contributions into one boolean lane row
+    BEFORE any scatter — scatter cost on TPU is per-entry, so collapsing
+    the K axis here is the difference between N*K and N scatter entries.
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, BANK), 2)
+    hits = ((ids_col % BANK)[..., None] == lane) & contrib[..., None]
+    return jnp.any(hits, axis=1)  # [rows, 32]
+
+
+def rows_to_bank_adjacency(
+    row_ids: jnp.ndarray,
+    rowmask: jnp.ndarray,
+    num_banks: int,
+) -> jnp.ndarray:
+    """Scatter-OR 32-wide lane rows into banked adjacency A[W,32,32].
+
+    row_ids are within-level node indices (invalid -> >= num_banks*32,
+    dropped). One row-scatter with a 32-lane payload per contributing row.
+    """
+    ids, vals = jax.lax.optimization_barrier((row_ids.reshape(-1), rowmask.reshape(-1, BANK).astype(jnp.int32)))
+    acc = jnp.zeros((num_banks * BANK, BANK), jnp.int32).at[ids].add(vals, mode="drop")
+    return acc.reshape(num_banks, BANK, BANK) > 0
+
+
 def neighbor_warp_masks_to_adjacency(
     ids_row: jnp.ndarray,
     ids_col: jnp.ndarray,
     contrib: jnp.ndarray,
     num_banks: int,
 ) -> jnp.ndarray:
-    """Scatter (row-node, col-node) pairs that share a bank into A[W,32,32].
-
-    ids are within-level node indices; contrib masks which pairs count.
-    Pairs whose endpoints are in different banks must be pre-masked out.
-    """
-    flat = (ids_row // BANK) * (BANK * BANK) + (ids_row % BANK) * BANK + (ids_col % BANK)
-    oob = num_banks * BANK * BANK
-    flat = jnp.where(contrib, flat, oob)
-    # barrier: keep XLA from fusing the index math into the scatter
-    # (serializes on TPU; see blockcsr.scatter_accumulate)
-    flat = jax.lax.optimization_barrier(flat.reshape(-1))
-    acc = jnp.zeros((num_banks * BANK * BANK,), jnp.int32)
-    acc = acc.at[flat].add(1, mode="drop")
-    return acc.reshape(num_banks, BANK, BANK) > 0
+    """Pair-list form: scatter (row, col) pairs that share a bank into
+    A[W,32,32] (used for the small collision-pair lists)."""
+    if ids_row.ndim == 1:
+        ids_row = ids_row[:, None]
+        ids_col = ids_col[:, None]
+        contrib = contrib[:, None]
+    rowmask = lane_bitmask_rows(ids_col, contrib)
+    row = jnp.where(jnp.any(contrib, axis=1), ids_row[:, 0], num_banks * BANK)
+    return rows_to_bank_adjacency(row, rowmask, num_banks)
 
 
 def transitive_closure_inbank(adj: jnp.ndarray, iters: int) -> jnp.ndarray:
@@ -159,12 +181,14 @@ def build_hierarchy(
     overflow = jnp.asarray(False)
 
     # ---- level 0: in-bank adjacency over sorted vertex ids ---------------
+    # Row v IS bank-slot (v//32, v%32), so the adjacency is a pure
+    # pre-reduce + reshape — no scatter at all.
     w0 = caps[0] // BANK
     u = nbr_idx
     same_bank = (u // BANK == vid[:, None] // BANK) & nbr_mask
-    adj = neighbor_warp_masks_to_adjacency(
-        jnp.broadcast_to(vid[:, None], u.shape), u, same_bank, w0
-    )
+    rowmask0 = lane_bitmask_rows(u, same_bank)                     # [N,32]
+    rowmask0 = jnp.zeros((caps[0], BANK), bool).at[:n].set(rowmask0)
+    adj = rowmask0.reshape(w0, BANK, BANK)
     remain = nbr_mask & ~same_bank
     if pairs is not None:
         psame = (pairs.a // BANK == pairs.b // BANK) & (pairs.a != pairs.b) & pairs.valid
@@ -199,9 +223,7 @@ def build_hierarchy(
         cv = cur_ids
         cu = jnp.take(cur_ids, nbr_idx)
         nsame = (cv[:, None] // BANK == cu // BANK) & remain & (cv[:, None] != cu)
-        adj = neighbor_warp_masks_to_adjacency(
-            jnp.broadcast_to(cv[:, None], cu.shape), cu, nsame, wl
-        )
+        adj = rows_to_bank_adjacency(cv, lane_bitmask_rows(cu, nsame), wl)
         remain = remain & ~((cv[:, None] // BANK == cu // BANK) & remain)
         if pairs is not None:
             ca = jnp.take(cur_ids, pairs.a)
