@@ -43,8 +43,10 @@ def main():
 
     # Light vertices + stiff springs: the stiffness-dominated, genuinely
     # ill-conditioned regime real cloth sims operate in (this is where the
-    # multilevel preconditioner earns its keep).
-    mesh = cloth.make_grid(grid, grid, z_wave=0.02, mass=0.01, dt=1.0 / 60.0)
+    # multilevel preconditioner earns its keep). mass is per-vertex (a
+    # ~0.1kg sheet at this resolution), overridable via BENCH_MASS.
+    mass = float(os.environ.get("BENCH_MASS", "0.001"))
+    mesh = cloth.make_grid(grid, grid, z_wave=0.02, mass=mass, dt=1.0 / 60.0)
     n = mesh.num_verts
     ell = cloth.assemble_system(mesh)
     maps = compute_sort_maps(jnp.asarray(mesh.positions))

@@ -1,0 +1,225 @@
+"""Hand-sharded iteration path: halo SpMV + psum CG + split Schwarz apply.
+
+The GSPMD path (parallel/sharded.py) lets XLA infer collectives; this
+module is the explicitly-scheduled shard_map version of the HOT LOOP for
+pod-scale runs (SURVEY.md §2.3, §7.2 step 6):
+
+  * fine (level-0) rows are contiguous Morton-sorted shards, multiples of
+    the 32-node bank, so domains never straddle shards;
+  * SpMV exchanges only a halo of boundary rows with ring neighbors via
+    ppermute (Morton contiguity keeps the halo thin), overlapping the
+    local contraction;
+  * coarse levels (<= N/32 nodes) are replicated; their residual assembly
+    is one psum of a small vector;
+  * CG dot products are jax.lax.psum reductions.
+
+Everything runs in SORTED vertex order (the solve permutes b once on entry
+and x once on exit), so the apply needs no per-iteration permutation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..config import SchwarzConfig
+from ..ops.apply import ApplyState
+from ..ops.batched_inverse import apply_block_inverse
+from ..ops.blockcsr import BlockEll
+from ..ops.hierarchy import BANK
+from .pcg import PcgResult, pcg
+
+
+class HaloSystem(NamedTuple):
+    """Sorted-order ELL system with halo-local column indices.
+
+    idx_ext[v, k] indexes into the halo-extended local x of v's shard:
+    [halo left rows | own rows | halo right rows].
+    """
+
+    diag: jnp.ndarray     # f32[N,3,3] (sorted order)
+    idx_ext: jnp.ndarray  # i32[N,K] halo-local columns
+    blocks: jnp.ndarray   # f32[N,K,3,3]
+    halo: int
+    shard_rows: int
+
+
+class ShardedApply(NamedTuple):
+    """ApplyState split into sharded fine part + replicated coarse part."""
+
+    going_next_fine: jnp.ndarray  # i32[cap0] parent (coarse-vector index) per fine node
+    anc1: jnp.ndarray             # i32[N] level-1 ancestor (coarse-vector index)
+    inv_fine: jnp.ndarray         # f32[B0,96,96]
+    inv_coarse: jnp.ndarray       # f32[Bc,96,96]
+    going_next_coarse: jnp.ndarray  # i32[total_coarse+1] parent within coarse vector
+    n: int
+    total_coarse: int
+
+
+def build_halo_system(ell_sorted: BlockEll, num_shards: int) -> HaloSystem:
+    """Convert a sorted-order ELL matrix to halo-local column indexing.
+
+    Host-side (NumPy): computes the max halo any shard needs and asserts
+    every column lands inside it. N must divide evenly into bank-aligned
+    shards.
+    """
+    n, k = ell_sorted.idx.shape
+    assert n % (num_shards * BANK) == 0, "pad N to num_shards*32 first"
+    rows_per = n // num_shards
+    idx = np.asarray(ell_sorted.idx)
+    mask = np.asarray(ell_sorted.mask)
+    row = np.arange(n)[:, None]
+    base = (row // rows_per) * rows_per
+    off = np.where(mask, idx - base, 0)
+    halo = int(max(0, max(-off.min(), off.max() - rows_per + 1)))
+    halo = -(-halo // BANK) * BANK  # bank-align
+    if halo > rows_per:
+        # Morton order keeps MOST neighbors close, but pairs straddling a
+        # high quadrant boundary can be arbitrarily far apart in rank; when
+        # the worst jump exceeds one shard, fall back to an all-gather of x
+        # per SpMV (halo == -1 marks the mode; columns stay global).
+        return HaloSystem(
+            diag=ell_sorted.diag,
+            idx_ext=ell_sorted.idx,
+            blocks=ell_sorted.blocks,
+            halo=-1,
+            shard_rows=rows_per,
+        )
+    own = np.tile((np.arange(n) % rows_per + halo)[:, None], (1, k))
+    idx_ext = np.where(mask, off + halo, own).astype(np.int32)
+    return HaloSystem(
+        diag=ell_sorted.diag,
+        idx_ext=jnp.asarray(idx_ext),
+        blocks=ell_sorted.blocks,
+        halo=halo,
+        shard_rows=rows_per,
+    )
+
+
+def split_apply_state(state: ApplyState, cfg: SchwarzConfig, n: int) -> ShardedApply:
+    """Split prepare() output into fine-sharded / coarse-replicated parts."""
+    offs = cfg.level_offsets(n)
+    cap0, total = offs[1], offs[-1]
+    total_coarse = total - cap0
+    gn = np.asarray(state.going_next)
+    # fine parents as indices into the coarse vector (sentinel -> dump slot)
+    gnf = gn[:cap0]
+    gnf = np.where(gnf >= total, total_coarse, gnf - cap0).astype(np.int32)
+    gnc = gn[cap0 : total + 1]
+    gnc = np.where(gnc >= total, total_coarse, gnc - cap0).astype(np.int32)
+    anc = np.asarray(state.ancestors)
+    anc1 = (anc[:, 0] - cap0).astype(np.int32) if anc.shape[1] else np.zeros(n, np.int32)
+    b0 = cap0 // BANK
+    return ShardedApply(
+        going_next_fine=jnp.asarray(gnf),
+        anc1=jnp.asarray(anc1),
+        inv_fine=state.inv96[:b0],
+        inv_coarse=state.inv96[b0:],
+        going_next_coarse=jnp.asarray(gnc),
+        n=n,
+        total_coarse=total_coarse,
+    )
+
+
+def halo_pcg_solver(mesh: Mesh, cfg: SchwarzConfig, n: int, halo: int,
+                    levels: int, total_coarse: int, axis: str = "x",
+                    tol: float = 1e-4, max_iters: int = 400):
+    """Build the jitted shard_map PCG solve (sorted-order b -> sorted x)."""
+    nsh = mesh.shape[axis]
+    cap0 = cfg.level_offsets(n)[1]
+    coffs = [o - cap0 for o in cfg.level_offsets(n)[1:]]  # coarse-vector level bounds
+
+    def local_spmv(diag_l, idxext_l, blocks_l, x_l):
+        if halo < 0:
+            # wide-jump fallback: replicate x (one all-gather over ICI)
+            xext = jax.lax.all_gather(x_l, axis, tiled=True)
+        else:
+            fwd = [(s, (s + 1) % nsh) for s in range(nsh)]
+            bwd = [(s, (s - 1) % nsh) for s in range(nsh)]
+            left = jax.lax.ppermute(x_l[-halo:], axis, perm=fwd) if halo else x_l[:0]
+            right = jax.lax.ppermute(x_l[:halo], axis, perm=bwd) if halo else x_l[:0]
+            xext = jnp.concatenate([left, x_l, right], axis=0)
+        xg = jnp.take(xext, idxext_l, axis=0)
+        return jnp.einsum("nkij,nkj->ni", blocks_l, xg) + jnp.einsum(
+            "nij,nj->ni", diag_l, x_l
+        )
+
+    def local_apply(sap_gnf_l, anc1_l, invf_l, invc, gnc, r_l):
+        # restriction: local fine -> partial coarse, psum to replicate
+        nf = r_l.shape[0]
+        partial = jnp.zeros((total_coarse + 1, 3), r_l.dtype)
+        gnf_l, vals = jax.lax.optimization_barrier((sap_gnf_l, r_l))
+        partial = partial.at[gnf_l].add(vals, mode="drop")
+        coarse = jax.lax.psum(partial, axis)
+        for l in range(1, levels - 1):
+            seg = slice(coffs[l - 1], coffs[l])
+            parents, v = jax.lax.optimization_barrier((gnc[seg], coarse[seg]))
+            coarse = coarse.at[parents].add(v, mode="drop")
+        coarse = coarse[:total_coarse]
+        # local fine blocks + replicated coarse blocks
+        zf = apply_block_inverse(invf_l, r_l.reshape(-1, 3 * BANK)).reshape(-1, 3)
+        zc = apply_block_inverse(invc, coarse.reshape(-1, 3 * BANK)).reshape(-1, 3)
+        # top-down pre-sum over applied coarse levels, then one local gather
+        top = min(levels, cfg.max_applied_levels)
+        pz = zc
+        for l in range(top - 2, 0, -1):
+            seg = slice(coffs[l - 1], coffs[l])
+            pz = pz.at[seg].add(
+                jnp.take(pz, gnc[seg], axis=0, mode="fill", fill_value=0)
+            )
+        if top > 1:
+            zf = zf + jnp.take(pz, anc1_l, axis=0)
+        return zf
+
+    row = P(axis)
+    rep = P()
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            (row, row, row),                     # diag, idx_ext, blocks
+            (row, row, row, rep, rep),           # gnf, anc1, invf, invc, gnc
+            row,                                 # b
+        ),
+        out_specs=PcgResult(x=row, iterations=rep, rel_residual=rep),
+        check_vma=False,
+    )
+    def solve(ell_parts, sap_parts, b_l):
+        diag_l, idxext_l, blocks_l = ell_parts
+        gnf_l, anc1_l, invf_l, invc, gnc = sap_parts
+        return pcg(
+            lambda v: local_spmv(diag_l, idxext_l, blocks_l, v),
+            lambda r: local_apply(gnf_l, anc1_l, invf_l, invc, gnc, r),
+            b_l,
+            tol=tol,
+            max_iters=max_iters,
+            reduce_sum=lambda s: jax.lax.psum(s, axis),
+        )
+
+    return jax.jit(solve)
+
+
+def solve_sorted(mesh: Mesh, cfg: SchwarzConfig, halo_sys: HaloSystem,
+                 sap: ShardedApply, b_sorted: jnp.ndarray, axis: str = "x",
+                 tol: float = 1e-4, max_iters: int = 400) -> PcgResult:
+    """Convenience wrapper: sorted-order solve over the mesh."""
+    n = b_sorted.shape[0]
+    levels = cfg.num_levels(n)
+    cap0 = cfg.level_offsets(n)[1]
+    # pad fine going_next/anc arrays to exactly n rows for row-sharding
+    gnf = sap.going_next_fine[:n]
+    solver = halo_pcg_solver(mesh, cfg, n, halo_sys.halo, levels,
+                             sap.total_coarse, axis, tol, max_iters)
+    with mesh:
+        return solver(
+            (halo_sys.diag, halo_sys.idx_ext, halo_sys.blocks),
+            (gnf, sap.anc1, sap.inv_fine, sap.inv_coarse, sap.going_next_coarse),
+            b_sorted,
+        )

@@ -1,0 +1,97 @@
+"""shard_map halo-SpMV PCG vs single-device solve on 8 virtual devices."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from precond_tpu.config import SchwarzConfig
+from precond_tpu.models import cloth
+from precond_tpu.ops import blockcsr
+from precond_tpu.ops.apply import precondition
+from precond_tpu.parallel import halo
+from precond_tpu.parallel.pcg import pcg
+from precond_tpu.solver import compute_sort_maps, prepare_preconditioner
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+def test_halo_solve_matches_single_device():
+    cfg = SchwarzConfig()
+    mesh_c = cloth.make_grid(32, 32, z_wave=0.02, mass=0.01)
+    n = mesh_c.num_verts  # 1024 = 8 shards x 128 rows (bank aligned)
+    ell = cloth.assemble_system(mesh_c)
+    maps = compute_sort_maps(jnp.asarray(mesh_c.positions))
+    state = prepare_preconditioner(ell, maps, cfg)
+
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+
+    # single-device reference
+    res1 = pcg(lambda v: blockcsr.spmv(ell, v),
+               lambda r: precondition(state, r, cfg), b, tol=1e-4, max_iters=200)
+
+    # sharded: solve in sorted order
+    ell_sorted = blockcsr.permute(ell, maps.sorted_to_orig, maps.orig_to_sorted)
+    hsys = halo.build_halo_system(ell_sorted, 8)
+    sap = halo.split_apply_state(state, cfg, n)
+    b_sorted = jnp.take(b, maps.sorted_to_orig, axis=0)
+
+    dmesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+    res8 = halo.solve_sorted(dmesh, cfg, hsys, sap, b_sorted, tol=1e-4, max_iters=200)
+    x8 = jnp.take(res8.x, maps.orig_to_sorted, axis=0)  # back to original order
+
+    assert float(res8.rel_residual) <= 1e-4
+    assert abs(int(res1.iterations) - int(res8.iterations)) <= 3
+    scale = np.abs(np.asarray(res1.x)).max()
+    np.testing.assert_allclose(np.asarray(x8), np.asarray(res1.x), rtol=5e-3, atol=5e-4 * scale)
+
+
+def test_halo_system_columns_covered():
+    # a banded (row-major) ordering keeps jumps short: the thin-halo mode
+    # must engage and every valid column must be reachable in the window
+    mesh_c = cloth.make_grid(128, 4, z_wave=0.0)
+    ell_sorted = cloth.assemble_system(mesh_c)  # identity ordering, banded
+    hsys = halo.build_halo_system(ell_sorted, 4)
+    assert hsys.halo >= 0, "banded ordering should fit a thin halo"
+    n, k = ell_sorted.idx.shape
+    rows_per = hsys.shard_rows
+    idx_ext = np.asarray(hsys.idx_ext)
+    assert idx_ext.min() >= 0
+    assert idx_ext.max() < rows_per + 2 * hsys.halo
+    # reconstruct global columns and compare against the original
+    base = (np.arange(n)[:, None] // rows_per) * rows_per
+    recon = idx_ext - hsys.halo + base
+    mask = np.asarray(ell_sorted.mask)
+    np.testing.assert_array_equal(recon[mask], np.asarray(ell_sorted.idx)[mask])
+
+
+def test_halo_solve_thin_halo_mode():
+    # banded ordering: ppermute halo path end-to-end vs single device.
+    # For strip meshes row-major IS the natural spatial ordering; the
+    # framework supports any bank-aligned ordering via the sort maps.
+    cfg = SchwarzConfig()
+    mesh_c = cloth.make_grid(128, 8, z_wave=0.0, mass=0.01)
+    n = mesh_c.num_verts  # 1024
+    ell = cloth.assemble_system(mesh_c)
+    ident = jnp.arange(n, dtype=jnp.int32)
+    from precond_tpu.solver import SortMaps
+
+    maps = SortMaps(sorted_to_orig=ident, orig_to_sorted=ident)
+    state = prepare_preconditioner(ell, maps, cfg)
+    ell_sorted = ell  # identity ordering, banded
+    hsys = halo.build_halo_system(ell_sorted, 8)
+    assert hsys.halo >= 0, "banded ordering should fit a thin halo"
+    sap = halo.split_apply_state(state, cfg, n)
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    res1 = pcg(lambda v: blockcsr.spmv(ell, v),
+               lambda r: precondition(state, r, cfg), b, tol=1e-4, max_iters=200)
+    b_sorted = jnp.take(b, maps.sorted_to_orig, axis=0)
+    dmesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+    res8 = halo.solve_sorted(dmesh, cfg, hsys, sap, b_sorted, tol=1e-4, max_iters=200)
+    x8 = jnp.take(res8.x, maps.orig_to_sorted, axis=0)
+    assert float(res8.rel_residual) <= 1e-4
+    scale = np.abs(np.asarray(res1.x)).max()
+    np.testing.assert_allclose(np.asarray(x8), np.asarray(res1.x), rtol=5e-3, atol=5e-4 * scale)
