@@ -31,6 +31,26 @@ def test_hanging_cloth_steps():
     assert np.abs(np.asarray(sim.state.velocities)).max() < 50.0
 
 
+def test_soft_body_settles():
+    from precond_tpu.models import tetmesh
+    from precond_tpu.models.simulator import SoftBodySim
+
+    mesh = tetmesh.make_box(5, 5, 5, mass=0.05, youngs=5e4)
+    # pin the bottom face (z == 0 plane): indices with k == 0
+    nz = 5
+    pinned = np.asarray([i for i in range(mesh.num_verts) if i % nz == 0])
+    sim = SoftBodySim(mesh, SchwarzConfig(), pinned=pinned)
+    z0 = np.asarray(sim.state.positions)[:, 2].mean()
+    for _ in range(5):
+        st = sim.step()
+        assert np.all(np.isfinite(np.asarray(st.positions)))
+        assert float(sim.last_solve.rel_residual) <= 1e-4
+    pos = np.asarray(sim.state.positions)
+    np.testing.assert_allclose(pos[pinned], mesh.positions[pinned], atol=1e-6)
+    assert pos[:, 2].mean() < z0  # compresses under gravity
+    assert np.abs(np.asarray(sim.state.velocities)).max() < 50.0
+
+
 def test_two_layer_cloth_with_collisions():
     # stacked sheets with penalty collisions: solver must stay stable
     n = 8
