@@ -46,48 +46,63 @@ def make_grid(nx: int, ny: int, size: float = 1.0, mass: float = 1.0, dt: float 
     pos = np.stack([xs * scale, ys * scale, np.zeros_like(xs, np.float64)], -1).reshape(-1, 3)
     if z_wave:
         pos[:, 2] = z_wave * np.sin(pos[:, 0] * 7.3) * np.cos(pos[:, 1] * 5.1)
-    vid = lambda i, j: i * ny + j
 
-    faces = []
-    for i in range(nx - 1):
-        for j in range(ny - 1):
-            a, b, c, d = vid(i, j), vid(i + 1, j), vid(i + 1, j + 1), vid(i, j + 1)
-            faces.append((a, b, c))
-            faces.append((a, c, d))
-    faces = np.asarray(faces, np.int32).reshape(-1, 3)
+    # fully vectorized topology construction (usable at 1M+ vertices)
+    gi, gj = np.meshgrid(np.arange(nx - 1), np.arange(ny - 1), indexing="ij")
+    a = (gi * ny + gj).reshape(-1)
+    b = ((gi + 1) * ny + gj).reshape(-1)
+    c = ((gi + 1) * ny + gj + 1).reshape(-1)
+    d = (gi * ny + gj + 1).reshape(-1)
+    faces = np.concatenate(
+        [np.stack([a, b, c], 1), np.stack([a, c, d], 1)]
+    ).astype(np.int32)
 
-    # Unique mesh edges with opposite vertices (for collision stencils).
-    edge_opp = {}
-    for f in faces:
-        for e0, e1, opp in ((f[0], f[1], f[2]), (f[1], f[2], f[0]), (f[2], f[0], f[1])):
-            key = (min(e0, e1), max(e0, e1))
-            edge_opp.setdefault(key, []).append(opp)
-    edges = np.asarray(
-        [(a, b, opp[0], opp[1] if len(opp) > 1 else -1) for (a, b), opp in sorted(edge_opp.items())],
-        np.int32,
-    ).reshape(-1, 4)
+    # unique mesh edges with opposite vertices (for collision stencils)
+    he0 = np.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
+    he1 = np.concatenate([faces[:, 1], faces[:, 2], faces[:, 0]])
+    hopp = np.concatenate([faces[:, 2], faces[:, 0], faces[:, 1]])
+    n_total = nx * ny
+    lo = np.minimum(he0, he1).astype(np.int64)
+    hi = np.maximum(he0, he1).astype(np.int64)
+    key = lo * n_total + hi
+    order = np.argsort(key, kind="stable")
+    key_s, lo_s, hi_s, opp_s = key[order], lo[order], hi[order], hopp[order]
+    first = np.empty(len(key_s), bool)
+    first[:1] = True
+    first[1:] = key_s[1:] != key_s[:-1]
+    starts = np.flatnonzero(first)
+    counts = np.diff(np.append(starts, len(key_s)))
+    opp1 = np.where(counts > 1, opp_s[np.minimum(starts + 1, len(key_s) - 1)], -1)
+    edges = np.stack([lo_s[starts], hi_s[starts], opp_s[starts], opp1], 1).astype(np.int32)
 
-    springs, stiff = [], []
-    for i in range(nx):
-        for j in range(ny):
-            if i + 1 < nx:
-                springs.append((vid(i, j), vid(i + 1, j))); stiff.append(k_struct)
-            if j + 1 < ny:
-                springs.append((vid(i, j), vid(i, j + 1))); stiff.append(k_struct)
-            if i + 1 < nx and j + 1 < ny:
-                springs.append((vid(i, j), vid(i + 1, j + 1))); stiff.append(k_shear)
-                springs.append((vid(i + 1, j), vid(i, j + 1))); stiff.append(k_shear)
-            if i + 2 < nx:
-                springs.append((vid(i, j), vid(i + 2, j))); stiff.append(k_bend)
-            if j + 2 < ny:
-                springs.append((vid(i, j), vid(i, j + 2))); stiff.append(k_bend)
+    def grid_springs(di, dj):
+        ii, jj = np.meshgrid(np.arange(nx - di), np.arange(ny - dj), indexing="ij")
+        s0 = (ii * ny + jj).reshape(-1)
+        s1 = ((ii + di) * ny + jj + dj).reshape(-1)
+        return np.stack([s0, s1], 1)
+
+    def shear_springs():
+        ii, jj = np.meshgrid(np.arange(nx - 1), np.arange(ny - 1), indexing="ij")
+        s = np.stack([(ii * ny + jj).reshape(-1), ((ii + 1) * ny + jj + 1).reshape(-1)], 1)
+        t = np.stack([((ii + 1) * ny + jj).reshape(-1), (ii * ny + jj + 1).reshape(-1)], 1)
+        return np.concatenate([s, t])
+
+    groups = [
+        (grid_springs(1, 0), k_struct),
+        (grid_springs(0, 1), k_struct),
+        (shear_springs(), k_shear),
+        (grid_springs(2, 0), k_bend),
+        (grid_springs(0, 2), k_bend),
+    ]
+    springs = np.concatenate([g for g, _ in groups]).astype(np.int32)
+    stiff = np.concatenate([np.full(len(g), k, np.float32) for g, k in groups])
 
     return ClothMesh(
         positions=pos.astype(np.float32),
         edges=edges,
         faces=faces,
-        springs=np.asarray(springs, np.int32),
-        stiffness=np.asarray(stiff, np.float32),
+        springs=springs,
+        stiffness=stiff,
         mass=mass,
         dt=dt,
     )
