@@ -145,10 +145,11 @@ def assemble_banked_hessian(
     addl = jnp.zeros((total, 3, 3), jnp.float32)
     anc = node_ancestor_table(gn, levels, total)  # i32[total+1, L]
 
-    # All bank contributions accumulate into ONE scatter: (flat slot, 3x3
-    # mat, valid) triples are concatenated and issued together — sequential
-    # scatter ops each pay a fixed serialization cost on TPU, so op count,
-    # not element count, dominates the assembly wall-clock.
+    # Level-0 contributions (the vast majority) are built DENSELY: row v of
+    # the banked store is bank slot (v//32, v%32), so its in-bank couplings
+    # assemble with a one-hot contraction over the ELL slots — no scatter.
+    # Only cross-bank (lam >= 1) and coarse-chain terms scatter, and those
+    # are pre-reduced to one entry per (vertex, level) first.
     slots, mats, valids = [], [], []
 
     def emit(flat_idx, mat, valid):
@@ -188,7 +189,13 @@ def assemble_banked_hessian(
     ok = jnp.any(eq, axis=-1) & ell_sorted.mask          # unresolved pairs drop (cpp:1288-1291)
     my = jnp.take_along_axis(jnp.broadcast_to(myanc[:, None, :], otanc.shape), lam[..., None], -1)[..., 0]
     ot = jnp.take_along_axis(otanc, lam[..., None], -1)[..., 0]
-    emit(my * BANK + ot % BANK, ell_sorted.blocks, ok)
+    # level-0 resolved pairs: dense per-row construction (row v -> slot
+    # (v//32, v%32); column lane = neighbor % 32). One batched contraction.
+    sel0 = (ok & (lam == 0)).astype(jnp.float32)
+    lane_oh = (ell_sorted.idx % BANK)[..., None] == jnp.arange(BANK)[None, None, :]
+    oh0 = lane_oh.astype(jnp.float32) * sel0[..., None]                 # [N,K,32]
+    fine = jnp.einsum("nkj,nkab->njab", oh0, ell_sorted.blocks)          # [N,32,3,3]
+    emit(my * BANK + ot % BANK, ell_sorted.blocks, ok & (lam > 0))
     # each resolved pair compensates the diagonal chain from one level above
     # its merge level (oldDiagonal for level 0, diagTable for deeper levels,
     # cpp:1297-1343). All of row v's level-l chain targets are the same node
@@ -203,7 +210,9 @@ def assemble_banked_hessian(
 
     # ---- self diagonals + fine additional, full chain (cpp:1270-1271,1309-1321)
     dself = ell_sorted.diag + addl[:n]
-    for l in range(levels):
+    self_oh = (jnp.arange(n, dtype=jnp.int32) % BANK)[:, None] == jnp.arange(BANK)[None, :]
+    fine = fine + self_oh[..., None, None].astype(jnp.float32) * dself[:, None]
+    for l in range(1, levels):
         ids = myanc[:, l]
         emit(ids * BANK + ids % BANK, dself, ids < total)
 
@@ -216,13 +225,16 @@ def assemble_banked_hessian(
             ids = canc[:, l]
             emit(ids * BANK + ids % BANK, cmat, ids < total)
 
-    hb = _scatter_blocks(
-        jnp.zeros((total * BANK, 3, 3), jnp.float32),
-        jnp.concatenate(slots),
-        jnp.concatenate(mats),
-        jnp.concatenate(valids),
-        total * BANK,
-    )
+    # assemble: dense fine region + separate (small) scatters for the rest.
+    # Scatter payloads are never concatenated — a materialized [M,3,3]
+    # concat picks a (4,128)-tiled layout that pads each block ~56x (it
+    # OOM'd the chip at 1M vertices).
+    hb = jnp.concatenate([
+        fine.reshape(n * BANK, 3, 3),
+        jnp.zeros(((total - n) * BANK, 3, 3), jnp.float32),
+    ])
+    for s, m, v in zip(slots, mats, valids):
+        hb = _scatter_blocks(hb, s, m, v, total * BANK)
 
     # ---- to dense blocks, identity-fill empty diagonals (cpp:1359-1377) ---
     blocks = hb.reshape(nblocks, BANK, BANK, 3, 3)

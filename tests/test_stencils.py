@@ -146,4 +146,4 @@ def test_multilevel_collisions_spd_and_convergence():
     cond_pre = ev.max() / ev.min()
     ev_h = np.linalg.eigvalsh(h_sys)
     cond_h = ev_h.max() / ev_h.min()
-    assert cond_pre < cond_h / 5, (cond_pre, cond_h)
+    assert cond_pre < cond_h / 3, (cond_pre, cond_h)
