@@ -1,0 +1,48 @@
+"""Debug-mode numerical guards.
+
+Reference analogues: stencil-overflow clamp + printf (cpp:312-316),
+identity-fill of singular blocks (cpp:1365-1367), zero-safe Normalize
+(SeMath.h:149-156). Here: explicit NaN/Inf sentinels and hierarchy
+overflow checks that can wrap any solve in debug runs (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.apply import ApplyState
+
+
+def check_finite(name: str, *arrays) -> List[str]:
+    """Return a list of problem descriptions (empty = healthy)."""
+    problems = []
+    for i, a in enumerate(arrays):
+        a = np.asarray(a)
+        if not np.all(np.isfinite(a)):
+            bad = int((~np.isfinite(a)).sum())
+            problems.append(f"{name}[{i}]: {bad}/{a.size} non-finite values")
+    return problems
+
+
+def validate_apply_state(state: ApplyState) -> List[str]:
+    """Sanity-check a prepared preconditioner state."""
+    problems = check_finite("inv96", state.inv96)
+    if bool(state.overflow):
+        problems.append(
+            "hierarchy overflow: a level exceeded its static capacity "
+            "(raise SchwarzConfig.level_headroom)"
+        )
+    inv = np.asarray(state.inv96)
+    asym = np.abs(inv - np.swapaxes(inv, 1, 2)).max()
+    scale = max(np.abs(inv).max(), 1e-30)
+    if asym > 1e-5 * scale:
+        problems.append(f"inv96 asymmetry {asym:.3e} (scale {scale:.3e})")
+    return problems
+
+
+def assert_healthy(state: ApplyState) -> None:
+    problems = validate_apply_state(state)
+    assert not problems, "; ".join(problems)
