@@ -44,7 +44,7 @@ def node_ancestor_table(going_next: jnp.ndarray, levels: int, total: int) -> jnp
 
     Precomputing ancestor chains turns the per-pair climb (cpp:1282-1287)
     into cheap in-row arithmetic: large [N,K] tables of neighbor ancestors
-    come from the reciprocal-slot *scatter*, not per-entry gathers.
+    come from one row gather over the table instead of per-level gathers.
     """
     cols = [jnp.arange(total + 1, dtype=jnp.int32)]
     for _ in range(1, levels):

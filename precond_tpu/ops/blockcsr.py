@@ -26,21 +26,12 @@ import numpy as np
 
 
 class BlockEll(NamedTuple):
-    """Block-sparse symmetric system matrix H (3N x 3N), ELL layout.
-
-    `rslot` is the reciprocal-slot table: rslot[v,k] is the slot of v inside
-    row idx[v,k]'s list (the sparsity is structurally symmetric for the
-    Hessians this framework handles). It turns every neighbor *gather* into
-    a neighbor *scatter* — row u pushing x[u] into its neighbors' slots —
-    which is an order of magnitude faster than XLA's row gather on TPU.
-    Padded slots carry rslot == K (out of bounds, dropped by scatters).
-    """
+    """Block-sparse symmetric system matrix H (3N x 3N), ELL layout."""
 
     diag: jnp.ndarray    # f32[N, 3, 3]
     idx: jnp.ndarray     # i32[N, K]
     blocks: jnp.ndarray  # f32[N, K, 3, 3]
     mask: jnp.ndarray    # bool[N, K]
-    rslot: jnp.ndarray   # i32[N, K]
 
     @property
     def num_verts(self) -> int:
@@ -80,35 +71,7 @@ def from_coo(
         idx=jnp.asarray(idx),
         blocks=jnp.asarray(blocks),
         mask=jnp.asarray(mask),
-        rslot=jnp.asarray(reciprocal_slots(idx, mask)),
     )
-
-
-def reciprocal_slots(idx: np.ndarray, mask: np.ndarray) -> np.ndarray:
-    """rslot[v,k] = slot of v within row idx[v,k] (host, vectorized).
-
-    Requires structurally symmetric sparsity; entries without a reciprocal
-    (or padded slots) get K, the out-of-bounds sentinel.
-    """
-    idx = np.asarray(idx)
-    mask = np.asarray(mask)
-    n, k = idx.shape
-    rows = np.repeat(np.arange(n, dtype=np.int64), k)
-    cols = idx.reshape(-1).astype(np.int64)
-    slots = np.tile(np.arange(k, dtype=np.int32), n)
-    valid = mask.reshape(-1)
-    keys = rows[valid] * n + cols[valid]
-    vals = slots[valid]
-    order = np.argsort(keys, kind="stable")
-    keys_s, vals_s = keys[order], vals[order]
-    # query: slot of v inside row u, for every entry (v -> u)
-    qkeys = cols * n + rows
-    pos = np.searchsorted(keys_s, qkeys)
-    pos_c = np.minimum(pos, max(len(keys_s) - 1, 0))
-    hit = valid & (len(keys_s) > 0) & (keys_s[pos_c] == qkeys)
-    out = np.full(n * k, k, np.int32)
-    out[hit] = vals_s[pos_c[hit]]
-    return out.reshape(n, k)
 
 
 def scatter_accumulate(size: int, tgt: jnp.ndarray, vals: jnp.ndarray,
@@ -126,36 +89,13 @@ def scatter_accumulate(size: int, tgt: jnp.ndarray, vals: jnp.ndarray,
     return out.at[tgt].add(vals, mode="drop", unique_indices=unique)
 
 
-def push_to_neighbors(idx: jnp.ndarray, mask: jnp.ndarray, rslot: jnp.ndarray,
-                      x: jnp.ndarray) -> jnp.ndarray:
-    """xg[v,k] = x[idx[v,k]] for every valid slot, WITHOUT a gather.
-
-    Symmetric-transpose trick: row u *pushes* x[u] into the reciprocal slot
-    of each of its neighbors (targets are unique by construction). On TPU
-    this scatter formulation runs orders of magnitude faster than the
-    equivalent XLA row gather. x may have any trailing shape; unwritten
-    (padded) slots are 0.
-    """
-    n, k = idx.shape
-    tgt = jnp.where(mask & (rslot < k), idx * k + rslot, n * k)
-    vals = jnp.broadcast_to(x[:, None], (n, k) + x.shape[1:])
-    out = scatter_accumulate(n * k, tgt, vals, unique=True)
-    return out.reshape((n, k) + x.shape[1:])
-
-
-def neighbor_values(h: BlockEll, x: jnp.ndarray) -> jnp.ndarray:
-    """xg[v,k] = x[idx[v,k]] via the reciprocal-slot scatter (see above)."""
-    return push_to_neighbors(h.idx, h.mask, h.rslot, x)
-
-
 def spmv(h: BlockEll, x: jnp.ndarray) -> jnp.ndarray:
     """y = H x with x, y of shape [N, 3].
 
     One row gather over the ELL table plus two batched contractions.
     (A reciprocal-slot scatter variant was benchmarked head-to-head inside
     jit chains on the v5e and lost ~10x to the gather for this access
-    pattern, so the gather stays — see neighbor_values for where the
-    scatter form wins: wide per-row payloads in the assembly phase.)
+    pattern — docs/DESIGN.md §3 — so the gather stays.)
     """
     xg = jnp.take(x, h.idx, axis=0)                      # [N, K, 3]
     off = jnp.einsum("nkij,nkj->ni", h.blocks, xg)       # [N, 3]
@@ -185,8 +125,7 @@ def permute(h: BlockEll, sorted_to_orig: jnp.ndarray, orig_to_sorted: jnp.ndarra
     idx = jnp.take(orig_to_sorted, jnp.take(h.idx, sorted_to_orig, axis=0))
     blocks = jnp.take(h.blocks, sorted_to_orig, axis=0)
     mask = jnp.take(h.mask, sorted_to_orig, axis=0)
-    rslot = jnp.take(h.rslot, sorted_to_orig, axis=0)  # in-row slots are permutation-invariant
     # Padded slots must keep pointing at their own (new) row.
     own = jnp.broadcast_to(jnp.arange(idx.shape[0], dtype=idx.dtype)[:, None], idx.shape)
     idx = jnp.where(mask, idx, own)
-    return BlockEll(diag=diag, idx=idx, blocks=blocks, mask=mask, rslot=rslot)
+    return BlockEll(diag=diag, idx=idx, blocks=blocks, mask=mask)

@@ -40,7 +40,6 @@ def shard_system(mesh: Mesh, ell: BlockEll, axis: str = "x") -> BlockEll:
         idx=jax.device_put(ell.idx, row),
         blocks=jax.device_put(ell.blocks, row),
         mask=jax.device_put(ell.mask, row),
-        rslot=jax.device_put(ell.rslot, row),
     )
 
 
@@ -80,7 +79,7 @@ def sharded_solve_step(mesh: Mesh, cfg: SchwarzConfig, axis: str = "x",
     return jax.jit(
         step,
         in_shardings=(
-            BlockEll(diag=row, idx=row, blocks=row, mask=row, rslot=row),
+            BlockEll(diag=row, idx=row, blocks=row, mask=row),
             SortMaps(sorted_to_orig=rep, orig_to_sorted=rep),
             row,
         ),
