@@ -126,20 +126,58 @@ def spring_hessian_blocks(positions: jnp.ndarray, springs: jnp.ndarray,
     return stiffness[:, None, None] * dn[:, :, None] * dn[:, None, :]
 
 
-def assemble_system(mesh: ClothMesh, positions: np.ndarray | None = None) -> BlockEll:
-    """Implicit-Euler system H = (m/dt^2) I + spring Hessian, as BlockEll."""
-    pos = jnp.asarray(mesh.positions if positions is None else positions)
-    ke = np.asarray(spring_hessian_blocks(pos, jnp.asarray(mesh.springs), jnp.asarray(mesh.stiffness)))
+def ell_structure_from_springs(n: int, springs: np.ndarray):
+    """Host-side INT-ONLY setup: ELL sparsity + per-spring slots.
 
+    Returns (idx i32[N,K], mask bool[N,K], slot_a i32[S], slot_b i32[S]).
+    Values never touch the host — they are computed on device by
+    update_ell_blocks (at 1M+ vertices the host<->device value transfers
+    dominate otherwise).
+    """
+    from .. import native
+
+    idx, mask = native.elements_to_adjacency_ell(n, springs)
+    k = idx.shape[1]
+    # rows are sorted ascending; key flattening makes the table globally
+    # sorted so both slot lookups are two vectorized searchsorteds
+    keys = np.where(mask, np.arange(n, dtype=np.int64)[:, None] * (n + 1) + idx,
+                    np.arange(n, dtype=np.int64)[:, None] * (n + 1) + n).reshape(-1)
+    a = springs[:, 0].astype(np.int64)
+    b = springs[:, 1].astype(np.int64)
+    pos_a = np.searchsorted(keys, a * (n + 1) + b)
+    pos_b = np.searchsorted(keys, b * (n + 1) + a)
+    slot_a = (pos_a - a * k).astype(np.int32)
+    slot_b = (pos_b - b * k).astype(np.int32)
+    assert np.all(slot_a >= 0) and np.all(slot_a < k)
+    assert np.all(slot_b >= 0) and np.all(slot_b < k)
+    return idx, mask, slot_a, slot_b
+
+
+def assemble_system(mesh: ClothMesh, positions: np.ndarray | None = None) -> BlockEll:
+    """Implicit-Euler system H = (m/dt^2) I + spring Hessian, as BlockEll.
+
+    Structure on host (ints only), values entirely on device.
+    """
     n = mesh.num_verts
-    a, b = mesh.springs[:, 0], mesh.springs[:, 1]
-    diag = np.tile((mesh.mass / mesh.dt**2) * np.eye(3, dtype=np.float32), (n, 1, 1))
-    np.add.at(diag, a, ke)
-    np.add.at(diag, b, ke)
-    rows = np.concatenate([a, b])
-    cols = np.concatenate([b, a])
-    vals = np.concatenate([-ke, -ke])
-    return from_coo(n, rows, cols, vals, diag)
+    idx, mask, slot_a, slot_b = ell_structure_from_springs(n, mesh.springs)
+    shell = BlockEll(
+        diag=jnp.zeros((n, 3, 3), jnp.float32),
+        idx=jnp.asarray(idx),
+        blocks=jnp.zeros(idx.shape + (3, 3), jnp.float32),
+        mask=jnp.asarray(mask),
+    )
+    pos = jnp.asarray(mesh.positions if positions is None else positions)
+    return _fill_ell(shell, jnp.asarray(mesh.springs), jnp.asarray(mesh.stiffness),
+                     pos, mesh.mass / mesh.dt**2,
+                     jnp.asarray(slot_a), jnp.asarray(slot_b))
+
+
+_fill_ell = jax.jit(
+    lambda h, springs, stiffness, positions, m_dt2, sa, sb: update_ell_blocks(
+        h, springs, stiffness, positions, m_dt2, sa, sb
+    ),
+    static_argnames=(),
+)
 
 
 def update_ell_blocks(h: BlockEll, mesh_springs: jnp.ndarray, stiffness: jnp.ndarray,
@@ -152,13 +190,19 @@ def update_ell_blocks(h: BlockEll, mesh_springs: jnp.ndarray, stiffness: jnp.nda
     """
     ke = spring_hessian_blocks(positions, mesh_springs, stiffness)
     n = h.diag.shape[0]
+    k = h.idx.shape[1]
     a, b = mesh_springs[:, 0], mesh_springs[:, 1]
+    # barrier flat views so XLA neither fuses producers into the scatters
+    # (serializes) nor materializes tiled [S,3,3] copies (docs/DESIGN.md §3)
+    kef, negf = jax.lax.optimization_barrier((ke.reshape(-1), (-ke).reshape(-1)))
+    ke = kef.reshape(-1, 3, 3)
+    neg = negf.reshape(-1, 3, 3)
     diag = jnp.tile(mass_over_dt2 * jnp.eye(3, dtype=h.diag.dtype), (n, 1, 1))
     diag = diag.at[a].add(ke).at[b].add(ke)
-    blocks = jnp.zeros_like(h.blocks)
-    blocks = blocks.at[a, slot_a].set(-ke)
-    blocks = blocks.at[b, slot_b].set(-ke)
-    return h._replace(diag=diag, blocks=blocks)
+    blocks = jnp.zeros((n * k, 3, 3), h.blocks.dtype)
+    blocks = blocks.at[a * k + slot_a].set(neg)
+    blocks = blocks.at[b * k + slot_b].set(neg)
+    return h._replace(diag=diag, blocks=blocks.reshape(n, k, 3, 3))
 
 
 def ell_slots_for_springs(h: BlockEll, springs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

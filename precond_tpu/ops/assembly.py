@@ -83,11 +83,13 @@ def _scatter_blocks(acc: jnp.ndarray, flat_idx: jnp.ndarray, mats: jnp.ndarray,
 
     The optimization barrier keeps XLA from fusing the index/value
     computation into the scatter (a ~900x serialization on TPU; see
-    blockcsr.scatter_accumulate).
+    blockcsr.scatter_accumulate). Values are barriered as a FLAT vector:
+    a [M,3,3]-shaped barrier copy gets a (4,128)-tiled layout that pads
+    every block ~56x and OOMs at 1M vertices.
     """
     idx = jnp.where(valid, flat_idx, oob)
-    idx, mats = jax.lax.optimization_barrier((idx.reshape(-1), mats.reshape(-1, 3, 3)))
-    return acc.at[idx].add(mats, mode="drop")
+    idx, mats_flat = jax.lax.optimization_barrier((idx.reshape(-1), mats.reshape(-1)))
+    return acc.at[idx].add(mats_flat.reshape(-1, 3, 3), mode="drop")
 
 
 def _chain_scatter_diag(
