@@ -2,27 +2,28 @@
 
 Reference: PrepareHessian (cpp:1229-1345), PrepareCollisionHessian
 (cpp:1201-1227), AdditionalSchwarzHessian2 (cpp:1164-1199). The banked
-storage there is a 32 x totalSz table of 3x3 blocks with
-    H[block, x, y] == m_hessian32[y][block*32 + x]
-(see LDLtInverse512's gather, cpp:1359-1377); here it is a dense
-f32[total*32, 3, 3] scatter target, viewed as [B, 32, 32, 3, 3]: the flat
-slot of pair (my, ot) in my's bank is simply my*32 + ot%32.
+storage there is a 32 x totalSz table of 3x3 blocks; here it is a
+[total, 288] row table — row = node, column = a*96 + lane*3 + b — chosen
+so that (a) a row holds the node's three DOF-rows of its 96x96 domain
+matrix and the final [B,96,96] tensor is a pure reshape, and (b) every
+materialized array keeps a >=96-wide minor dimension. On this TPU any
+scatter-adjacent array with a trailing (3,3) gets a (4,128)-tiled layout
+that pads each block ~56x (docs/DESIGN.md §3) — the row-table layout is
+what makes 1M-vertex assembly fit.
 
-The reference's atomics / per-thread unordered_map diagonal tables
-(cpp:1255-1343) become deterministic jnp scatter-adds; the "climb both ids
-up goingNext until they share a bank" walk (cpp:1171-1176, 1282-1287) is a
-statically-unrolled vectorized gather loop.
-
-Semantics preserved exactly:
+Semantics preserved exactly (see git history for the scatter-form
+implementation that this replaces):
   * a pair contribution resolved at level λ lands symmetrically in that
-    level's bank, and its diagonal compensation lands on the *parent chain*
-    starting one level above λ (cpp:1184-1198 for collisions; the
-    oldDiagonal/diagTable plumbing cpp:1297-1343 for CSR terms);
+    level's bank, and its diagonal compensation lands on the parent chain
+    above λ (cpp:1184-1198, 1297-1343);
   * self diagonals (+ collision w² terms) land on the full ancestor chain;
-  * pairs that never share a bank within the level budget are dropped
+  * pairs that never share a bank within the level budget drop
     (cpp:1288-1291);
-  * empty padded diagonal blocks are identity-filled so every 96x96 block
-    stays SPD (cpp:1365-1367).
+  * empty padded diagonal blocks are identity-filled (cpp:1365-1367).
+
+The reference's atomics / per-thread unordered_map diagonal tables become
+one chunked dense row construction per level (bounded VMEM-friendly
+transients) plus one 288-wide row scatter-add per coarse level.
 """
 
 from __future__ import annotations
@@ -31,21 +32,21 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import SchwarzConfig
 from .blockcsr import BlockEll
 from .hierarchy import BANK, Hierarchy
 
-_EYE3 = jnp.eye(3, dtype=jnp.float32)
+ROW = 3 * BANK * 3  # 288 columns per node row
+_COLS = np.arange(ROW)
+_YCOL = ((_COLS % 96) // 3).astype(np.int32)             # lane (other node % 32)
+_CCOL = ((_COLS // 96) * 3 + _COLS % 3).astype(np.int32)  # 3x3 component a*3+b
+_CHUNK = 16384
 
 
 def node_ancestor_table(going_next: jnp.ndarray, levels: int, total: int) -> jnp.ndarray:
-    """ANC[x, l] = x climbed l levels (sentinel-saturating). i32[total+1, L].
-
-    Precomputing ancestor chains turns the per-pair climb (cpp:1282-1287)
-    into cheap in-row arithmetic: large [N,K] tables of neighbor ancestors
-    come from one row gather over the table instead of per-level gathers.
-    """
+    """ANC[x, l] = x climbed l levels (sentinel-saturating). i32[total+1, L]."""
     cols = [jnp.arange(total + 1, dtype=jnp.int32)]
     for _ in range(1, levels):
         cols.append(jnp.take(going_next, cols[-1]))
@@ -61,10 +62,8 @@ def common_bank_climb(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Climb both node ids up the hierarchy until they share a bank.
 
-    Returns (my', ot', merged) where merged is False for pairs that never
-    share a bank within `levels` climbs (reference skips those,
-    cpp:1178-1179, 1288-1291). Ids climb in lockstep so both are always at
-    the same level.
+    Returns (my', ot', merged); merged is False for pairs that never share
+    a bank within `levels` climbs (reference skips those, cpp:1178-1179).
     """
     lam = jnp.zeros(my.shape, jnp.int32)
     for _ in range(levels):
@@ -77,42 +76,29 @@ def common_bank_climb(
     return my, ot, merged
 
 
-def _scatter_blocks(acc: jnp.ndarray, flat_idx: jnp.ndarray, mats: jnp.ndarray,
-                    valid: jnp.ndarray, oob: int) -> jnp.ndarray:
-    """acc[flat_idx] += mats where valid (dropped otherwise). acc: [M,3,3].
-
-    The optimization barrier keeps XLA from fusing the index/value
-    computation into the scatter (a ~900x serialization on TPU; see
-    blockcsr.scatter_accumulate). Values are barriered as a FLAT vector:
-    a [M,3,3]-shaped barrier copy gets a (4,128)-tiled layout that pads
-    every block ~56x and OOMs at 1M vertices.
-    """
-    idx = jnp.where(valid, flat_idx, oob)
-    idx, mats_flat = jax.lax.optimization_barrier((idx.reshape(-1), mats.reshape(-1)))
-    return acc.at[idx].add(mats_flat.reshape(-1, 3, 3), mode="drop")
+def _diag_rows(mat9: jnp.ndarray, lane: jnp.ndarray) -> jnp.ndarray:
+    """[M,9] blocks placed at their diagonal lane -> [M,288] row payloads."""
+    ycol = jnp.asarray(_YCOL)
+    ccol = jnp.asarray(_CCOL)
+    vals = jnp.take(mat9, ccol, axis=1)            # [M,288]
+    return vals * (lane[:, None] == ycol[None, :])
 
 
-def _chain_scatter_diag(
-    hb: jnp.ndarray,
-    base_ids: jnp.ndarray,
-    mats: jnp.ndarray,
-    valid: jnp.ndarray,
-    going_next: jnp.ndarray,
-    levels: int,
-    total: int,
-) -> jnp.ndarray:
-    """Add `mats` to the bank diagonal of base_ids and every ancestor.
+def _row_scatter(hb2: jnp.ndarray, rows: jnp.ndarray, vals: jnp.ndarray,
+                 valid: jnp.ndarray, total: int) -> jnp.ndarray:
+    """hb2[rows] += vals (row dumped when invalid). 288-wide payloads keep
+    the scatter layout benign; the barrier stops operand fusion."""
+    r = jnp.where(valid, rows, total)
+    r, v = jax.lax.optimization_barrier((r.reshape(-1), vals))
+    return hb2.at[r].add(v, mode="drop")
 
-    Implements the reference's diagonal push-up: the coarse-node loop
-    cpp:1236-1252, the oldDiagonal handoff cpp:1297-1321 and the diagTable
-    flush cpp:1326-1343 all reduce to "add at node, then at each ancestor".
-    """
-    ids = base_ids
-    for _ in range(levels):
-        ok = valid & (ids < total)
-        hb = _scatter_blocks(hb, ids * BANK + ids % BANK, mats, ok, total * BANK)
-        ids = jnp.take(going_next, jnp.minimum(ids, total))
-    return hb
+
+def _scalar_scatter9(flat: jnp.ndarray, ids: jnp.ndarray, mat9: jnp.ndarray,
+                     valid: jnp.ndarray, size: int) -> jnp.ndarray:
+    """flat[ids*9 + c] += mat9[:, c] (scalar form for small irregular sets)."""
+    tgt = jnp.where(valid, ids, size)[:, None] * 9 + jnp.arange(9)[None, :]
+    t, v = jax.lax.optimization_barrier((tgt.reshape(-1), mat9.reshape(-1)))
+    return flat.at[t].add(v, mode="drop")
 
 
 class CollisionTerms(NamedTuple):
@@ -125,6 +111,48 @@ class CollisionTerms(NamedTuple):
     diag_ids: jnp.ndarray   # i32[Q] vertex (mapped) for w^2 diagonal terms
     diag_mat: jnp.ndarray   # f32[Q,3,3]
     diag_valid: jnp.ndarray # bool[Q]
+
+
+def _level_rows(idx, otl, lam, ok, blk9, myl, dself9, level: int) -> jnp.ndarray:
+    """Per-vertex 288-wide row contributions for one hierarchy level.
+
+    Combines, for target node myanc[:,level]:
+      * off-diagonal blocks of pairs resolved exactly at `level`
+        (lane = climbed neighbor % 32);
+      * chain diagonal compensation of pairs resolved below `level`
+        (lane = own node % 32), cpp:1297-1343;
+      * the self diagonal (+ additional), every level, cpp:1270,1309-1321.
+    Chunked by lax.map so the [C,K,288] transients stay bounded.
+    """
+    n, k = idx.shape
+    pad = (-n) % _CHUNK
+    def padded(a, fill=0):
+        return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1), constant_values=fill)
+
+    args = (
+        padded(otl), padded(lam), padded(ok), padded(blk9),
+        padded(myl), padded(dself9),
+    )
+    args = tuple(a.reshape((-1, _CHUNK) + a.shape[1:]) for a in args)
+    ycol = jnp.asarray(_YCOL)
+    ccol = jnp.asarray(_CCOL)
+
+    def one(chunk):
+        otl_c, lam_c, ok_c, blk9_c, myl_c, dself9_c = chunk
+        lane_ot = otl_c % BANK                                 # [C,K]
+        lane_my = myl_c % BANK                                 # [C]
+        sel = ok_c & (lam_c == level)
+        a = (lane_ot[..., None] == ycol) & sel[..., None]      # [C,K,288]
+        if level > 0:
+            sel_ch = ok_c & (lam_c < level)
+            a = a | ((lane_my[:, None, None] == ycol) & sel_ch[..., None])
+        bv = jnp.take(blk9_c, ccol, axis=2)                    # [C,K,288]
+        vals = jnp.sum(a.astype(jnp.float32) * bv, axis=1)     # [C,288]
+        dv = jnp.take(dself9_c, ccol, axis=1)
+        return vals + dv * (lane_my[:, None] == ycol[None, :])
+
+    out = jax.lax.map(one, args)
+    return out.reshape(-1, ROW)[:n]
 
 
 def assemble_banked_hessian(
@@ -142,108 +170,74 @@ def assemble_banked_hessian(
     total = cfg.total_capacity(n)
     nblocks = total // BANK
     gn = hier.going_next
-
-    # m_additionalHessian32 (cpp:168): per-node extra diagonal from collisions.
-    addl = jnp.zeros((total, 3, 3), jnp.float32)
     anc = node_ancestor_table(gn, levels, total)  # i32[total+1, L]
 
-    # Level-0 contributions (the vast majority) are built DENSELY: row v of
-    # the banked store is bank slot (v//32, v%32), so its in-bank couplings
-    # assemble with a one-hot contraction over the ELL slots — no scatter.
-    # Only cross-bank (lam >= 1) and coarse-chain terms scatter, and those
-    # are pre-reduced to one entry per (vertex, level) first.
-    slots, mats, valids = [], [], []
+    # m_additionalHessian32 (cpp:168): per-node extra diagonal, flat [total*9].
+    addl9 = jnp.zeros((total * 9,), jnp.float32)
+    pair_rows = []  # (rows, vals[.,288], valid) from collisions
 
-    def emit(flat_idx, mat, valid):
-        slots.append(flat_idx.reshape(-1))
-        mats.append(mat.reshape(-1, 3, 3))
-        valids.append(valid.reshape(-1))
-
-    # ---- collisions first (PrepareCollisionHessian, cpp:1201-1227) -------
     if collisions is not None:
-        addl = _scatter_blocks(
-            addl, collisions.diag_ids, collisions.diag_mat, collisions.diag_valid, total
+        addl9 = _scalar_scatter9(
+            addl9, collisions.diag_ids, collisions.diag_mat.reshape(-1, 9),
+            collisions.diag_valid, total,
         )
-        my, ot, merged = common_bank_climb(
+        my_c, ot_c, merged = common_bank_climb(
             collisions.pair_a, collisions.pair_b, gn, levels, total
         )
-        ok = merged & collisions.pair_valid
+        okc = merged & collisions.pair_valid
+        pm9 = collisions.pair_mat.reshape(-1, 9)
+        ycol = jnp.asarray(_YCOL)
+        ccol = jnp.asarray(_CCOL)
+        pv = jnp.take(pm9, ccol, axis=1)
         # symmetric into the shared bank (cpp:1181-1182)
-        emit(my * BANK + ot % BANK, collisions.pair_mat, ok)
-        emit(ot * BANK + my % BANK, collisions.pair_mat, ok)
+        pair_rows.append((my_c, pv * ((ot_c % BANK)[:, None] == ycol), okc))
+        pair_rows.append((ot_c, pv * ((my_c % BANK)[:, None] == ycol), okc))
         # parent diagonal compensation one level further up (cpp:1184-1198);
-        # when parents coincide the two adds give the reference's 2x.
-        pmy = jnp.take(gn, jnp.minimum(my, total))
-        pot = jnp.take(gn, jnp.minimum(ot, total))
-        ok_up = ok & (pmy < total)
-        addl = _scatter_blocks(addl, jnp.concatenate([pmy, pot]),
-                               jnp.concatenate([collisions.pair_mat] * 2),
-                               jnp.concatenate([ok_up, ok_up]), total)
+        # coinciding parents receive the reference's 2x via the two adds.
+        pmy = jnp.take(gn, jnp.minimum(my_c, total))
+        pot = jnp.take(gn, jnp.minimum(ot_c, total))
+        ok_up = okc & (pmy < total)
+        addl9 = _scalar_scatter9(addl9, pmy, pm9, ok_up, total)
+        addl9 = _scalar_scatter9(addl9, pot, pm9, ok_up, total)
 
-    # ---- CSR off-diagonals (PrepareHessian, cpp:1262-1307) ----------------
-    # The per-pair climb is resolved against precomputed ancestor chains
-    # (one row gather replaces the levels x [N,K] gather loop of the naive
-    # climb).
-    myanc = anc[:n]                                     # [N, L] (contiguous slice)
+    # ---- pair merge levels from ancestor chains (cpp:1282-1287) ----------
+    myanc = anc[:n]                                     # [N, L]
     otanc = jnp.take(anc, ell_sorted.idx, axis=0)       # [N, K, L]
-    eq = (myanc[:, None, :] // BANK) == (otanc // BANK)  # [N, K, L]
-    lam = jnp.argmax(eq, axis=-1).astype(jnp.int32)      # first common-bank level
-    ok = jnp.any(eq, axis=-1) & ell_sorted.mask          # unresolved pairs drop (cpp:1288-1291)
-    my = jnp.take_along_axis(jnp.broadcast_to(myanc[:, None, :], otanc.shape), lam[..., None], -1)[..., 0]
-    ot = jnp.take_along_axis(otanc, lam[..., None], -1)[..., 0]
-    # level-0 resolved pairs: dense per-row construction (row v -> slot
-    # (v//32, v%32); column lane = neighbor % 32). One batched contraction.
-    sel0 = (ok & (lam == 0)).astype(jnp.float32)
-    lane_oh = (ell_sorted.idx % BANK)[..., None] == jnp.arange(BANK)[None, None, :]
-    oh0 = lane_oh.astype(jnp.float32) * sel0[..., None]                 # [N,K,32]
-    fine = jnp.einsum("nkj,nkab->njab", oh0, ell_sorted.blocks)          # [N,32,3,3]
-    emit(my * BANK + ot % BANK, ell_sorted.blocks, ok & (lam > 0))
-    # each resolved pair compensates the diagonal chain from one level above
-    # its merge level (oldDiagonal for level 0, diagTable for deeper levels,
-    # cpp:1297-1343). All of row v's level-l chain targets are the same node
-    # (myanc[v,l]), so contributions pre-reduce over K — one [N] scatter
-    # entry per level instead of [N,K] (scatter entries cost ~10x a gather
-    # row on TPU; entry count is the knob).
-    for l in range(1, levels):
-        sel = (ok & (lam < l)).astype(ell_sorted.blocks.dtype)
-        mat_l = jnp.einsum("nk,nkab->nab", sel, ell_sorted.blocks)
-        ids = myanc[:, l]
-        emit(ids * BANK + ids % BANK, mat_l, ids < total)
+    eq = (myanc[:, None, :] // BANK) == (otanc // BANK)
+    lam = jnp.argmax(eq, axis=-1).astype(jnp.int32)
+    ok = jnp.any(eq, axis=-1) & ell_sorted.mask
+    blk9 = ell_sorted.blocks.reshape(n, -1, 9)
+    dself9 = (ell_sorted.diag + addl9[: n * 9].reshape(n, 3, 3)).reshape(n, 9)
 
-    # ---- self diagonals + fine additional, full chain (cpp:1270-1271,1309-1321)
-    dself = ell_sorted.diag + addl[:n]
-    self_oh = (jnp.arange(n, dtype=jnp.int32) % BANK)[:, None] == jnp.arange(BANK)[None, :]
-    fine = fine + self_oh[..., None, None].astype(jnp.float32) * dself[:, None]
-    for l in range(1, levels):
-        ids = myanc[:, l]
-        emit(ids * BANK + ids % BANK, dself, ids < total)
+    # ---- per-level row construction + placement --------------------------
+    hb2 = jnp.zeros((total + 1, ROW), jnp.float32)
+    for l in range(levels):
+        vals = _level_rows(
+            ell_sorted.idx, otanc[:, :, l], lam, ok, blk9, myanc[:, l], dself9, l
+        )
+        if l == 0:
+            hb2 = hb2.at[:n].add(vals)  # rows ARE the fine nodes
+        else:
+            hb2 = _row_scatter(hb2, myanc[:, l], vals, myanc[:, l] < total, total)
 
     # ---- coarse-node additional, full chain (cpp:1236-1252) ---------------
     coarse_off = cfg.level_offsets(n)[1] if levels > 1 else total
     if coarse_off < total:
         canc = anc[coarse_off:total]                    # [C, L]
-        cmat = addl[coarse_off:]
+        cmat9 = addl9[coarse_off * 9 : total * 9].reshape(-1, 9)
         for l in range(levels):
             ids = canc[:, l]
-            emit(ids * BANK + ids % BANK, cmat, ids < total)
+            hb2 = _row_scatter(hb2, ids, _diag_rows(cmat9, ids % BANK), ids < total, total)
 
-    # assemble: dense fine region + separate (small) scatters for the rest.
-    # Scatter payloads are never concatenated — a materialized [M,3,3]
-    # concat picks a (4,128)-tiled layout that pads each block ~56x (it
-    # OOM'd the chip at 1M vertices).
-    hb = jnp.concatenate([
-        fine.reshape(n * BANK, 3, 3),
-        jnp.zeros(((total - n) * BANK, 3, 3), jnp.float32),
-    ])
-    for s, m, v in zip(slots, mats, valids):
-        hb = _scatter_blocks(hb, s, m, v, total * BANK)
+    for rows, vals, valid in pair_rows:
+        hb2 = _row_scatter(hb2, rows, vals, valid, total)
 
-    # ---- to dense blocks, identity-fill empty diagonals (cpp:1359-1377) ---
-    blocks = hb.reshape(nblocks, BANK, BANK, 3, 3)
-    node = jnp.arange(BANK)
-    diag = blocks[:, node, node]                       # [B,32,3,3]
-    empty = diag[..., 0, 0] == 0.0                     # [B,32]
-    diag = jnp.where(empty[..., None, None], _EYE3, diag)
-    blocks = blocks.at[:, node, node].set(diag)
-    # [B,32,32,3,3] -> [B,96,96] with (node, dof) row ordering
-    return blocks.transpose(0, 1, 3, 2, 4).reshape(nblocks, 3 * BANK, 3 * BANK)
+    # ---- identity-fill empty diagonals (cpp:1359-1377) --------------------
+    node = jnp.arange(total, dtype=jnp.int32)
+    d00 = jnp.take_along_axis(hb2[:total], ((node % BANK) * 3)[:, None], axis=1)[:, 0]
+    empty = (d00 == 0.0).reshape(nblocks, BANK)
+    h96 = hb2[:total].reshape(nblocks, 3 * BANK, 3 * BANK)  # rows ordered (x, a)
+    ii = jnp.arange(3 * BANK)
+    eye_mask = (ii[:, None] == ii[None, :]).astype(jnp.float32)
+    fill = jnp.repeat(empty, 3, axis=1).astype(jnp.float32)  # [B,96]
+    return h96 + eye_mask[None] * fill[:, :, None]
