@@ -127,17 +127,20 @@ def spring_hessian_blocks(positions: jnp.ndarray, springs: jnp.ndarray,
 
 
 def ell_structure_from_springs(n: int, springs: np.ndarray):
-    """Host-side INT-ONLY setup: ELL sparsity + per-spring slots.
+    """Host-side INT-ONLY setup: ELL sparsity + the slot->spring inverse.
 
-    Returns (idx i32[N,K], mask bool[N,K], slot_a i32[S], slot_b i32[S]).
-    Values never touch the host — they are computed on device by
-    update_ell_blocks (at 1M+ vertices the host<->device value transfers
-    dominate otherwise).
+    Returns (idx i32[N,K], mask bool[N,K], spring_of_slot i32[N,K]) where
+    spring_of_slot[v,k] is the spring whose off-diagonal block belongs in
+    slot (v,k) (S for padded slots). With this table the per-step value
+    fill is GATHER-only — scatters into [N*K,3,3] buffers pick a tiled
+    layout that is ~56x oversized on TPU (docs/DESIGN.md §3), and values
+    never touch the host.
     """
     from .. import native
 
     idx, mask = native.elements_to_adjacency_ell(n, springs)
     k = idx.shape[1]
+    s_count = len(springs)
     # rows are sorted ascending; key flattening makes the table globally
     # sorted so both slot lookups are two vectorized searchsorteds
     keys = np.where(mask, np.arange(n, dtype=np.int64)[:, None] * (n + 1) + idx,
@@ -146,11 +149,14 @@ def ell_structure_from_springs(n: int, springs: np.ndarray):
     b = springs[:, 1].astype(np.int64)
     pos_a = np.searchsorted(keys, a * (n + 1) + b)
     pos_b = np.searchsorted(keys, b * (n + 1) + a)
-    slot_a = (pos_a - a * k).astype(np.int32)
-    slot_b = (pos_b - b * k).astype(np.int32)
+    slot_a = (pos_a - a * k).astype(np.int64)
+    slot_b = (pos_b - b * k).astype(np.int64)
     assert np.all(slot_a >= 0) and np.all(slot_a < k)
     assert np.all(slot_b >= 0) and np.all(slot_b < k)
-    return idx, mask, slot_a, slot_b
+    spring_of_slot = np.full(n * k, s_count, np.int32)
+    spring_of_slot[a * k + slot_a] = np.arange(s_count, dtype=np.int32)
+    spring_of_slot[b * k + slot_b] = np.arange(s_count, dtype=np.int32)
+    return idx, mask, spring_of_slot.reshape(n, k)
 
 
 def assemble_system(mesh: ClothMesh, positions: np.ndarray | None = None) -> BlockEll:
@@ -159,7 +165,7 @@ def assemble_system(mesh: ClothMesh, positions: np.ndarray | None = None) -> Blo
     Structure on host (ints only), values entirely on device.
     """
     n = mesh.num_verts
-    idx, mask, slot_a, slot_b = ell_structure_from_springs(n, mesh.springs)
+    idx, mask, spring_of_slot = ell_structure_from_springs(n, mesh.springs)
     shell = BlockEll(
         diag=jnp.zeros((n, 3, 3), jnp.float32),
         idx=jnp.asarray(idx),
@@ -168,49 +174,33 @@ def assemble_system(mesh: ClothMesh, positions: np.ndarray | None = None) -> Blo
     )
     pos = jnp.asarray(mesh.positions if positions is None else positions)
     return _fill_ell(shell, jnp.asarray(mesh.springs), jnp.asarray(mesh.stiffness),
-                     pos, mesh.mass / mesh.dt**2,
-                     jnp.asarray(slot_a), jnp.asarray(slot_b))
+                     pos, mesh.mass / mesh.dt**2, jnp.asarray(spring_of_slot))
 
 
-_fill_ell = jax.jit(
-    lambda h, springs, stiffness, positions, m_dt2, sa, sb: update_ell_blocks(
-        h, springs, stiffness, positions, m_dt2, sa, sb
-    ),
-    static_argnames=(),
-)
+def _fill_ell(*args):
+    return _fill_ell_jit(*args)
 
 
 def update_ell_blocks(h: BlockEll, mesh_springs: jnp.ndarray, stiffness: jnp.ndarray,
                       positions: jnp.ndarray, mass_over_dt2: float,
-                      slot_a: jnp.ndarray, slot_b: jnp.ndarray) -> BlockEll:
+                      spring_of_slot: jnp.ndarray) -> BlockEll:
     """Jittable per-step refresh of spring blocks into a fixed ELL sparsity.
 
-    slot_a[s] / slot_b[s] give the ELL slot of spring s in rows
-    springs[s,0] / springs[s,1] (computed once at setup; sparsity is fixed).
+    GATHER-only: blocks[v,k] = -ke[spring_of_slot[v,k]] and the diagonal is
+    the mass term plus the row-sum of gathered spring blocks (H row sums to
+    the mass for interior rows). No scatters — scatter targets with (3,3)
+    trailing dims get catastrophically tiled layouts (docs/DESIGN.md §3).
+    Assumes at most one spring per vertex pair (duplicates would need
+    coalescing — the mesh builders never produce them).
     """
-    ke = spring_hessian_blocks(positions, mesh_springs, stiffness)
-    n = h.diag.shape[0]
-    k = h.idx.shape[1]
-    a, b = mesh_springs[:, 0], mesh_springs[:, 1]
-    # barrier flat views so XLA neither fuses producers into the scatters
-    # (serializes) nor materializes tiled [S,3,3] copies (docs/DESIGN.md §3)
-    kef, negf = jax.lax.optimization_barrier((ke.reshape(-1), (-ke).reshape(-1)))
-    ke = kef.reshape(-1, 3, 3)
-    neg = negf.reshape(-1, 3, 3)
-    diag = jnp.tile(mass_over_dt2 * jnp.eye(3, dtype=h.diag.dtype), (n, 1, 1))
-    diag = diag.at[a].add(ke).at[b].add(ke)
-    blocks = jnp.zeros((n * k, 3, 3), h.blocks.dtype)
-    blocks = blocks.at[a * k + slot_a].set(neg)
-    blocks = blocks.at[b * k + slot_b].set(neg)
-    return h._replace(diag=diag, blocks=blocks.reshape(n, k, 3, 3))
+    ke = spring_hessian_blocks(positions, mesh_springs, stiffness)  # [S,3,3]
+    s_count = ke.shape[0]
+    ke_pad = jnp.concatenate([ke, jnp.zeros((1, 3, 3), ke.dtype)])
+    gathered = jnp.take(ke_pad, jnp.minimum(spring_of_slot, s_count), axis=0)  # [N,K,3,3]
+    diag = mass_over_dt2 * jnp.eye(3, dtype=h.diag.dtype)[None] + jnp.sum(gathered, axis=1)
+    return h._replace(diag=diag, blocks=-gathered)
 
 
-def ell_slots_for_springs(h: BlockEll, springs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Find each spring's ELL slot in both of its rows (host, setup-time)."""
-    idx = np.asarray(h.idx)
-    slot_a = np.empty(len(springs), np.int32)
-    slot_b = np.empty(len(springs), np.int32)
-    for s, (a, b) in enumerate(springs):
-        slot_a[s] = int(np.where(idx[a] == b)[0][0])
-        slot_b[s] = int(np.where(idx[b] == a)[0][0])
-    return slot_a, slot_b
+_fill_ell_jit = jax.jit(update_ell_blocks)
+
+

@@ -125,8 +125,8 @@ class ClothSim:
         self.pre = SchwarzPreconditioner(cfg)
         # fixed ELL sparsity from rest topology; per-step refresh is jitted
         self._ell0 = cloth_model.assemble_system(mesh)
-        self._slot_a, self._slot_b = cloth_model.ell_slots_for_springs(
-            self._ell0, mesh.springs
+        _, _, self._spring_of_slot = cloth_model.ell_structure_from_springs(
+            mesh.num_verts, mesh.springs
         )
         self.state = SimState(
             positions=jnp.asarray(mesh.positions),
@@ -155,8 +155,7 @@ class ClothSim:
             jnp.asarray(self.mesh.stiffness),
             x,
             self.mesh.mass / self.mesh.dt**2,
-            jnp.asarray(self._slot_a),
-            jnp.asarray(self._slot_b),
+            jnp.asarray(self._spring_of_slot),
         )
         # pinned vertices: decouple their rows/cols, keep an SPD mass diag
         p = self.pinned
