@@ -125,7 +125,8 @@ def _level_rows(idx, otl, lam, ok, blk9, myl, dself9, level: int) -> jnp.ndarray
     Chunked by lax.map so the [C,K,288] transients stay bounded.
     """
     n, k = idx.shape
-    pad = (-n) % _CHUNK
+    chunk = min(_CHUNK, max(256, 1 << (n - 1).bit_length()))
+    pad = (-n) % chunk
     def padded(a, fill=0):
         return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1), constant_values=fill)
 
@@ -133,7 +134,7 @@ def _level_rows(idx, otl, lam, ok, blk9, myl, dself9, level: int) -> jnp.ndarray
         padded(otl), padded(lam), padded(ok), padded(blk9),
         padded(myl), padded(dself9),
     )
-    args = tuple(a.reshape((-1, _CHUNK) + a.shape[1:]) for a in args)
+    args = tuple(a.reshape((-1, chunk) + a.shape[1:]) for a in args)
     ycol = jnp.asarray(_YCOL)
     ccol = jnp.asarray(_CCOL)
 
