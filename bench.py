@@ -63,7 +63,10 @@ def main():
     prepare_s = time.perf_counter() - t0
 
     # ---- iteration throughput: k fused PCG iterations --------------------
-    def k_iterations(state, b):
+    # NOTE: big arrays must be jit ARGUMENTS, not closures — closed-over
+    # arrays are embedded as program constants and the remote-compile
+    # request blows past the tunnel's size limit at 1M vertices.
+    def k_iterations(ell, state, b):
         def body(_, carry):
             x, r, p, z, rz = carry
             q = blockcsr.spmv(ell, p)
@@ -80,9 +83,9 @@ def main():
         return jax.lax.fori_loop(0, iters, body, init)[0]
 
     kit = jax.jit(k_iterations)
-    kit(state, b)[0].block_until_ready()  # compile + warm
+    kit(ell, state, b)[0].block_until_ready()  # compile + warm
     t0 = time.perf_counter()
-    x = kit(state, b)
+    x = kit(ell, state, b)
     x.block_until_ready()
     iter_s = (time.perf_counter() - t0) / iters
 
@@ -93,24 +96,29 @@ def main():
     nnz_per_s = nnz_per_iter / iter_s
 
     # ---- solve-time speedup vs block-Jacobi ------------------------------
-    spmv = lambda v: blockcsr.spmv(ell, v)
     solve_schwarz = jax.jit(
-        lambda st, b: pcg(spmv, lambda r: precondition(st, r, cfg), b, tol=1e-4, max_iters=2000)
+        lambda e, st, b: pcg(lambda v: blockcsr.spmv(e, v),
+                             lambda r: precondition(st, r, cfg), b,
+                             tol=1e-4, max_iters=2000)
     )
-    jac = jacobi_preconditioner(ell.diag)
-    solve_jacobi = jax.jit(lambda b: pcg(spmv, jac, b, tol=1e-4, max_iters=20000))
+    solve_jacobi = jax.jit(
+        lambda e, dinv, b: pcg(lambda v: blockcsr.spmv(e, v),
+                               lambda r: jnp.einsum("nij,nj->ni", dinv, r), b,
+                               tol=1e-4, max_iters=20000)
+    )
+    dinv = jnp.linalg.inv(ell.diag)
 
-    rs = solve_schwarz(state, b)
+    rs = solve_schwarz(ell, state, b)
     rs.x.block_until_ready()
     t0 = time.perf_counter()
-    rs = solve_schwarz(state, b)
+    rs = solve_schwarz(ell, state, b)
     rs.x.block_until_ready()
     t_schwarz = time.perf_counter() - t0 + prepare_s
 
-    rj = solve_jacobi(b)
+    rj = solve_jacobi(ell, dinv, b)
     rj.x.block_until_ready()
     t0 = time.perf_counter()
-    rj = solve_jacobi(b)
+    rj = solve_jacobi(ell, dinv, b)
     rj.x.block_until_ready()
     t_jacobi = time.perf_counter() - t0
 
