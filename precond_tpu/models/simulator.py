@@ -132,77 +132,86 @@ class ClothSim:
             positions=jnp.asarray(mesh.positions),
             velocities=jnp.zeros((mesh.num_verts, 3), jnp.float32),
         )
+        self._springs_d = jnp.asarray(mesh.springs)
+        self._stiff_d = jnp.asarray(mesh.stiffness)
+        self._rest_pos = jnp.asarray(mesh.positions)
+        self._faces_d = jnp.asarray(mesh.faces)
+        self._edges_d = jnp.asarray(mesh.edges)
+        self._sos_d = jnp.asarray(self._spring_of_slot)
+        self._step_fn = self._build_step()
 
-    # -- physics pieces ----------------------------------------------------
+    # -- fully-jitted step (one dispatch per frame) -------------------------
 
-    def _spring_forces(self, x: jnp.ndarray) -> jnp.ndarray:
-        s = jnp.asarray(self.mesh.springs)
-        k = jnp.asarray(self.mesh.stiffness)
-        x0 = jnp.asarray(self.mesh.positions)
-        rest = jnp.linalg.norm(jnp.take(x0, s[:, 1], 0) - jnp.take(x0, s[:, 0], 0), axis=-1)
-        d = jnp.take(x, s[:, 1], 0) - jnp.take(x, s[:, 0], 0)
-        length = jnp.linalg.norm(d, axis=-1)
-        dn = d / jnp.maximum(length, 1e-12)[:, None]
-        f = (k * (length - rest))[:, None] * dn  # force on endpoint 0 toward 1
-        out = jnp.zeros_like(x)
-        out = out.at[s[:, 0]].add(f).at[s[:, 1]].add(-f)
-        return out
-
-    def _system(self, x: jnp.ndarray) -> blockcsr.BlockEll:
-        ell = cloth_model.update_ell_blocks(
-            self._ell0,
-            jnp.asarray(self.mesh.springs),
-            jnp.asarray(self.mesh.stiffness),
-            x,
-            self.mesh.mass / self.mesh.dt**2,
-            jnp.asarray(self._spring_of_slot),
-        )
-        # pinned vertices: decouple their rows/cols, keep an SPD mass diag
-        p = self.pinned
-    # zero blocks whose row or col touches a pinned vertex
-        touches = p[:, None] | jnp.take(p, ell.idx)
-        blocks = jnp.where(touches[:, :, None, None], 0.0, ell.blocks)
-        big = (self.mesh.mass / self.mesh.dt**2) * jnp.eye(3, dtype=jnp.float32)
-        diag = jnp.where(p[:, None, None], big, ell.diag)
-        return ell._replace(blocks=blocks, diag=diag)
-
-    def _detect(self, x: jnp.ndarray) -> Optional[Stencils]:
-        if not self.collide:
-            return None
-        vf = collision_model.detect_vf(
-            x, jnp.asarray(self.mesh.faces), self.collision_threshold,
-            self.collision_stiffness, self.collision_budget,
-        )
-        return build_stencils(jnp.asarray(self.mesh.edges), jnp.asarray(self.mesh.faces), vf=vf)
-
-    # -- stepping ----------------------------------------------------------
-
-    def step(self) -> SimState:
-        """Advance one frame. Host-level orchestration; inner solves jitted."""
-        x, v = self.state.positions, self.state.velocities
+    def _build_step(self):
+        """The whole frame — ELL refresh, detection, prepare, PCG — as one
+        jitted function; big arrays are arguments, never closures (closure
+        constants both serialize badly and blow the remote-compile size
+        cap; docs/DESIGN.md §3)."""
+        cfg = self.cfg
         dt = self.mesh.dt
         m_dt2 = self.mesh.mass / dt**2
-
-        self.pre.allocate(x)
-        ell = self._system(x)
-        stencils = self._detect(x)
-        self.pre.prepare(ell, stencils)
-
-        # Gauss-Newton rhs around current x with inertia target
-        y = x + dt * v + dt * dt * self.gravity[None, :]
-        rhs = m_dt2 * (y - x) + self._spring_forces(x)
-        rhs = jnp.where(self.pinned[:, None], 0.0, rhs)
-
-        res = pcg(
-            lambda p_: blockcsr.spmv(ell, p_),
-            self.pre.apply,
-            rhs,
-            tol=self.tol,
-            max_iters=self.max_iters,
+        tol, max_iters = self.tol, self.max_iters
+        collide = self.collide
+        c_thresh, c_stiff, c_budget = (
+            self.collision_threshold, self.collision_stiffness, self.collision_budget
         )
-        dx = jnp.where(self.pinned[:, None], 0.0, res.x)
-        x_new = x + dx
-        v_new = (x_new - x) / dt
+
+        @jax.jit
+        def step_fn(ell0, maps, springs, stiffness, rest_pos, sos, faces, edges,
+                    pinned, gravity, x, v):
+            ell = cloth_model.update_ell_blocks(ell0, springs, stiffness, x, m_dt2, sos)
+            # pinned vertices: decouple rows/cols, keep an SPD mass diagonal
+            touches = pinned[:, None] | jnp.take(pinned, ell.idx)
+            big = m_dt2 * jnp.eye(3, dtype=jnp.float32)
+            ell = ell._replace(
+                blocks=jnp.where(touches[:, :, None, None], 0.0, ell.blocks),
+                diag=jnp.where(pinned[:, None, None], big, ell.diag),
+            )
+
+            stencils = None
+            if collide:
+                vf = collision_model.detect_vf(x, faces, c_thresh, c_stiff, c_budget)
+                stencils = build_stencils(edges, faces, vf=vf)
+
+            from ..solver import prepare_preconditioner
+            from ..ops.apply import precondition
+
+            state = prepare_preconditioner(ell, maps, cfg, stencils)
+
+            # Gauss-Newton rhs around current x with inertia target
+            rest = jnp.linalg.norm(
+                jnp.take(rest_pos, springs[:, 1], 0) - jnp.take(rest_pos, springs[:, 0], 0),
+                axis=-1,
+            )
+            d = jnp.take(x, springs[:, 1], 0) - jnp.take(x, springs[:, 0], 0)
+            length = jnp.linalg.norm(d, axis=-1)
+            dn = d / jnp.maximum(length, 1e-12)[:, None]
+            f = (stiffness * (length - rest))[:, None] * dn
+            f_int = jnp.zeros_like(x).at[springs[:, 0]].add(f).at[springs[:, 1]].add(-f)
+            y = x + dt * v + dt * dt * gravity[None, :]
+            rhs = m_dt2 * (y - x) + f_int
+            rhs = jnp.where(pinned[:, None], 0.0, rhs)
+
+            res = pcg(
+                lambda p_: blockcsr.spmv(ell, p_),
+                lambda r_: precondition(state, r_, cfg),
+                rhs, tol=tol, max_iters=max_iters,
+            )
+            dx = jnp.where(pinned[:, None], 0.0, res.x)
+            x_new = x + dx
+            return x_new, (x_new - x) / dt, res
+
+        return step_fn
+
+    def step(self) -> SimState:
+        """Advance one frame: re-sort on cadence (host), then one dispatch."""
+        x, v = self.state.positions, self.state.velocities
+        self.pre.allocate(x)  # refreshes Morton maps on the configured cadence
+        x_new, v_new, res = self._step_fn(
+            self._ell0, self.pre.maps, self._springs_d, self._stiff_d,
+            self._rest_pos, self._sos_d, self._faces_d, self._edges_d,
+            self.pinned, self.gravity, x, v,
+        )
         self.state = SimState(positions=x_new, velocities=v_new,
                               step_count=self.state.step_count + 1)
         self.last_solve = res
