@@ -53,13 +53,18 @@ def main():
     rng = np.random.default_rng(0)
     b = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
 
+    def sync(a):
+        # On the tunneled axon backend block_until_ready can return before
+        # compute completes; a value fetch is the only reliable barrier.
+        return float(np.asarray(a).ravel()[0])
+
     # ---- prepare (hierarchy + assembly + factorization) ------------------
     prep = jax.jit(lambda e, m: prepare_preconditioner(e, m, cfg))
     state = prep(ell, maps)
-    state.inv96.block_until_ready()
+    sync(state.inv96)
     t0 = time.perf_counter()
     state = prep(ell, maps)
-    state.inv96.block_until_ready()
+    sync(state.inv96)
     prepare_s = time.perf_counter() - t0
 
     # ---- iteration throughput: k fused PCG iterations --------------------
@@ -83,10 +88,9 @@ def main():
         return jax.lax.fori_loop(0, iters, body, init)[0]
 
     kit = jax.jit(k_iterations)
-    kit(ell, state, b)[0].block_until_ready()  # compile + warm
+    sync(kit(ell, state, b))  # compile + warm
     t0 = time.perf_counter()
-    x = kit(ell, state, b)
-    x.block_until_ready()
+    sync(kit(ell, state, b))
     iter_s = (time.perf_counter() - t0) / iters
 
     nnz_spmv = int(9 * (n + int(np.asarray(ell.mask).sum())))
@@ -109,17 +113,17 @@ def main():
     dinv = jnp.linalg.inv(ell.diag)
 
     rs = solve_schwarz(ell, state, b)
-    rs.x.block_until_ready()
+    sync(rs.x)
     t0 = time.perf_counter()
     rs = solve_schwarz(ell, state, b)
-    rs.x.block_until_ready()
+    sync(rs.x)
     t_schwarz = time.perf_counter() - t0 + prepare_s
 
     rj = solve_jacobi(ell, dinv, b)
-    rj.x.block_until_ready()
+    sync(rj.x)
     t0 = time.perf_counter()
     rj = solve_jacobi(ell, dinv, b)
-    rj.x.block_until_ready()
+    sync(rj.x)
     t_jacobi = time.perf_counter() - t0
 
     print(
