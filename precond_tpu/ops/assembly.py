@@ -76,12 +76,22 @@ def common_bank_climb(
     return my, ot, merged
 
 
+def _tile288(mat9: jnp.ndarray) -> jnp.ndarray:
+    """[..., 9] -> [..., 288] with component (a*3+b) at column a*96+y*3+b.
+
+    Pure broadcast+reshape — the equivalent jnp.take along the minor axis
+    lowers to a real gather (~4ns/element, measured 2s of the 65k
+    assembly before this).
+    """
+    lead = mat9.shape[:-1]
+    m33 = mat9.reshape(lead + (3, 1, 3))
+    return jnp.broadcast_to(m33, lead + (3, BANK, 3)).reshape(lead + (ROW,))
+
+
 def _diag_rows(mat9: jnp.ndarray, lane: jnp.ndarray) -> jnp.ndarray:
     """[M,9] blocks placed at their diagonal lane -> [M,288] row payloads."""
     ycol = jnp.asarray(_YCOL)
-    ccol = jnp.asarray(_CCOL)
-    vals = jnp.take(mat9, ccol, axis=1)            # [M,288]
-    return vals * (lane[:, None] == ycol[None, :])
+    return _tile288(mat9) * (lane[:, None] == ycol[None, :])
 
 
 def _row_scatter(hb2: jnp.ndarray, rows: jnp.ndarray, vals: jnp.ndarray,
@@ -136,7 +146,6 @@ def _level_rows(idx, otl, lam, ok, blk9, myl, dself9, level: int) -> jnp.ndarray
     )
     args = tuple(a.reshape((-1, chunk) + a.shape[1:]) for a in args)
     ycol = jnp.asarray(_YCOL)
-    ccol = jnp.asarray(_CCOL)
 
     def one(chunk):
         otl_c, lam_c, ok_c, blk9_c, myl_c, dself9_c = chunk
@@ -147,10 +156,9 @@ def _level_rows(idx, otl, lam, ok, blk9, myl, dself9, level: int) -> jnp.ndarray
         if level > 0:
             sel_ch = ok_c & (lam_c < level)
             a = a | ((lane_my[:, None, None] == ycol) & sel_ch[..., None])
-        bv = jnp.take(blk9_c, ccol, axis=2)                    # [C,K,288]
+        bv = _tile288(blk9_c)                                  # [C,K,288]
         vals = jnp.sum(a.astype(jnp.float32) * bv, axis=1)     # [C,288]
-        dv = jnp.take(dself9_c, ccol, axis=1)
-        return vals + dv * (lane_my[:, None] == ycol[None, :])
+        return vals + _diag_rows(dself9_c, lane_my)
 
     out = jax.lax.map(one, args)
     return out.reshape(-1, ROW)[:n]
@@ -188,8 +196,7 @@ def assemble_banked_hessian(
         okc = merged & collisions.pair_valid
         pm9 = collisions.pair_mat.reshape(-1, 9)
         ycol = jnp.asarray(_YCOL)
-        ccol = jnp.asarray(_CCOL)
-        pv = jnp.take(pm9, ccol, axis=1)
+        pv = _tile288(pm9)
         # symmetric into the shared bank (cpp:1181-1182)
         pair_rows.append((my_c, pv * ((ot_c % BANK)[:, None] == ycol), okc))
         pair_rows.append((ot_c, pv * ((my_c % BANK)[:, None] == ycol), okc))
