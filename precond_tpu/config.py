@@ -55,6 +55,14 @@ class SchwarzConfig:
     # cpp:600-614; we square a boolean adjacency matrix on the MXU).
     closure_iters: int = 5
 
+    # Use the hand-written Pallas kernels (ops/pallas/) for the batched
+    # 96x96 inverse and the apply symv instead of the XLA formulations.
+    # Both paths are numerically validated against each other; measured
+    # throughput on the shared dev chip was parity within session noise,
+    # so XLA stays the default until pod-grade measurements say otherwise.
+    use_pallas_inverse: bool = False
+    use_pallas_symv: bool = False
+
     def __post_init__(self):
         assert self.bank_size == 32, "bank_size is pinned to 32 (uint32 masks / 96x96 blocks)"
         assert self.closure_iters >= math.ceil(math.log2(self.bank_size))

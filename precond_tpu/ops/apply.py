@@ -98,7 +98,12 @@ def precondition(state: ApplyState, r: jnp.ndarray, cfg: SchwarzConfig) -> jnp.n
     r_sorted = jnp.take(r, state.sorted_to_orig, axis=0)
     mr = restrict_residual(r_sorted, state.going_next, cfg, n)
     rhs = mr.reshape(-1, 3 * BANK)                       # [B,96]
-    z96 = apply_block_inverse(state.inv96, rhs)
+    if cfg.use_pallas_symv:
+        from .pallas.symv import batched_symv
+
+        z96 = batched_symv(state.inv96, rhs)
+    else:
+        z96 = apply_block_inverse(state.inv96, rhs)
     mz = z96.reshape(-1, 3)                              # [total,3]
     z_sorted = prolong_and_collect(
         mz, state.ancestors, state.sorted_to_orig, state.going_next, cfg, n

@@ -35,19 +35,21 @@ def _gj_kernel(a_ref, out_ref, aug_ref):
     aug_ref[:, :, :DOF] = a_ref[:]
     aug_ref[:, :, DOF:] = jnp.broadcast_to(eye, (g, DOF, DOF))
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (DOF, 1), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (DOF, 1), 0)   # [96,1]
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, DOF), 1)  # [1,96]
 
     def step(j, _):
         aug = aug_ref[:]
-        ej = (row_ids == j).astype(jnp.float32)          # [96,1]
+        ej_col = (col_ids == j).astype(jnp.float32)      # [96,1]
+        ej_row = (lane_ids == j).astype(jnp.float32)     # [1,96]
         # pivot row and its diagonal entry via one-hot contractions
-        prow = jnp.sum(aug * ej[None, :, :], axis=1)     # [G,192]
-        piv = jnp.sum(prow[:, :DOF] * ej[:, 0][None, :], axis=1)  # [G]
+        prow = jnp.sum(aug * ej_col[None, :, :], axis=1)               # [G,192]
+        piv = jnp.sum(prow[:, :DOF] * ej_row, axis=1)                  # [G]
         prow = prow / piv[:, None]
-        col = jnp.sum(aug[:, :, :DOF] * ej[None, :, 0][:, None, :], axis=2)  # [G,96]
+        col = jnp.sum(aug[:, :, :DOF] * ej_row[None, :, :], axis=2)    # [G,96]
         new = aug - col[:, :, None] * prow[:, None, :]
         # restore row j to the normalized pivot row
-        mask = ej[None, :, :]                            # [1,96,1]
+        mask = ej_col[None, :, :]                        # [1,96,1]
         aug_ref[:] = new * (1.0 - mask) + prow[:, None, :] * mask
         return 0
 

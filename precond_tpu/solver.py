@@ -73,7 +73,12 @@ def prepare_preconditioner(
 
     hier = hi.build_hierarchy(ell_sorted.idx, ell_sorted.mask, cfg, pairs)
     h96 = assemble_banked_hessian(ell_sorted, hier, cfg, terms)
-    inv96 = invert_spd_blocks(h96)
+    if cfg.use_pallas_inverse:
+        from .ops.pallas.gj_inverse import invert_spd_blocks_pallas
+
+        inv96 = invert_spd_blocks_pallas(h96)
+    else:
+        inv96 = invert_spd_blocks(h96)
     return ApplyState(
         sorted_to_orig=maps.sorted_to_orig,
         orig_to_sorted=maps.orig_to_sorted,
