@@ -43,6 +43,11 @@ _COLS = np.arange(ROW)
 _YCOL = ((_COLS % 96) // 3).astype(np.int32)             # lane (other node % 32)
 _CCOL = ((_COLS // 96) * 3 + _COLS % 3).astype(np.int32)  # 3x3 component a*3+b
 _CHUNK = 16384
+# permutation (c*32+y) source order -> (a*96+y*3+b) destination order,
+# applied as one MXU matmul (a 288-wide static-index gather lowers to a
+# slow per-element gather; a [288,288] permutation matmul does not)
+_PERM_CY_TO_ROW = np.zeros((ROW, ROW), np.float32)
+_PERM_CY_TO_ROW[_CCOL * BANK + _YCOL, _COLS] = 1.0
 
 
 def node_ancestor_table(going_next: jnp.ndarray, levels: int, total: int) -> jnp.ndarray:
@@ -145,20 +150,27 @@ def _level_rows(idx, otl, lam, ok, blk9, myl, dself9, level: int) -> jnp.ndarray
         padded(myl), padded(dself9),
     )
     args = tuple(a.reshape((-1, chunk) + a.shape[1:]) for a in args)
-    ycol = jnp.asarray(_YCOL)
+    lanes = jnp.arange(BANK)
+    perm = jnp.asarray(_PERM_CY_TO_ROW)
 
     def one(chunk):
         otl_c, lam_c, ok_c, blk9_c, myl_c, dself9_c = chunk
+        c = otl_c.shape[0]
         lane_ot = otl_c % BANK                                 # [C,K]
         lane_my = myl_c % BANK                                 # [C]
-        sel = ok_c & (lam_c == level)
-        a = (lane_ot[..., None] == ycol) & sel[..., None]      # [C,K,288]
+        # one-hot over the 32 lanes only — contraction over K happens
+        # BEFORE expanding to 288 columns (an order of magnitude fewer
+        # bytes than expanding first)
+        oh = ((lane_ot[..., None] == lanes) & ok_c[..., None]
+              & (lam_c == level)[..., None]).astype(jnp.float32)  # [C,K,32]
         if level > 0:
-            sel_ch = ok_c & (lam_c < level)
-            a = a | ((lane_my[:, None, None] == ycol) & sel_ch[..., None])
-        bv = _tile288(blk9_c)                                  # [C,K,288]
-        vals = jnp.sum(a.astype(jnp.float32) * bv, axis=1)     # [C,288]
-        return vals + _diag_rows(dself9_c, lane_my)
+            oh = oh + ((lane_my[:, None, None] == lanes)
+                       & (ok_c & (lam_c < level))[..., None]).astype(jnp.float32)
+        part = jnp.einsum("nky,nkc->ncy", oh, blk9_c)          # [C,9,32]
+        self_oh = (lane_my[:, None] == lanes).astype(jnp.float32)  # [C,32]
+        part = part + dself9_c[:, :, None] * self_oh[:, None, :]
+        # (c*32+y) -> (a*96+y*3+b) column order via one permutation matmul
+        return jnp.dot(part.reshape(c, ROW), perm, preferred_element_type=jnp.float32)
 
     out = jax.lax.map(one, args)
     return out.reshape(-1, ROW)[:n]
