@@ -166,11 +166,15 @@ def _level_rows(idx, otl, lam, ok, blk9, myl, dself9, level: int) -> jnp.ndarray
         if level > 0:
             oh = oh + ((lane_my[:, None, None] == lanes)
                        & (ok_c & (lam_c < level))[..., None]).astype(jnp.float32)
-        part = jnp.einsum("nky,nkc->ncy", oh, blk9_c)          # [C,9,32]
+        # full-f32 precision: TPU matmuls default to bf16 operands, which
+        # would round every Hessian entry ~0.4%
+        part = jnp.einsum("nky,nkc->ncy", oh, blk9_c,
+                          precision=jax.lax.Precision.HIGHEST)   # [C,9,32]
         self_oh = (lane_my[:, None] == lanes).astype(jnp.float32)  # [C,32]
         part = part + dself9_c[:, :, None] * self_oh[:, None, :]
         # (c*32+y) -> (a*96+y*3+b) column order via one permutation matmul
-        return jnp.dot(part.reshape(c, ROW), perm, preferred_element_type=jnp.float32)
+        return jnp.dot(part.reshape(c, ROW), perm,
+                       precision=jax.lax.Precision.HIGHEST)
 
     out = jax.lax.map(one, args)
     return out.reshape(-1, ROW)[:n]

@@ -19,29 +19,23 @@ import jax.numpy as jnp
 def invert_spd_blocks(h96: jnp.ndarray) -> jnp.ndarray:
     """Explicit inverses of a batch of SPD matrices. [B,96,96] -> [B,96,96].
 
-    Batch-vectorized Gauss-Jordan on the augmented system [A | I]: 96
-    pivot steps of pure elementwise/outer-product work over the whole
-    batch on the VPU. XLA's batched cholesky/triangular_solve serializes
-    per matrix (measured 2.5s for 2187 blocks on a v5e; this runs the lot
-    in tens of ms). No pivoting — pivots of an SPD matrix are positive
-    (the reference's LDL^T elimination makes the same assumption,
-    cpp:1394-1415; padded diagonals are identity-filled).
+    Cholesky + two batched triangular solves, symmetrized. A batched
+    Gauss-Jordan variant (git history / ops/pallas/gj_inverse.py) is much
+    friendlier to the TPU's batching but loses too much accuracy in f32 on
+    the stiff cloth blocks (condition ~1e7): the resulting M⁻¹ stops being
+    PSD enough and CG stalls at max-iters. Cholesky keeps the SPD
+    structure and converges; a mixed-precision blocked Pallas factorizer
+    is the round-2 replacement (docs/ROADMAP.md).
     """
     b, m, _ = h96.shape
-    aug = jnp.concatenate(
-        [h96, jnp.broadcast_to(jnp.eye(m, dtype=h96.dtype), (b, m, m))], axis=2
+    chol = jnp.linalg.cholesky(h96)
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=h96.dtype), (b, m, m))
+    linv = jax.lax.linalg.triangular_solve(
+        chol, eye, left_side=True, lower=True, transpose_a=False
     )
-
-    def pivot_step(j, a):
-        piv_row = a[:, j, :] / a[:, j, j][:, None]          # [B,2m]
-        col = a[:, :, j]                                     # [B,m]
-        a = a - col[:, :, None] * piv_row[:, None, :]
-        return jax.lax.dynamic_update_slice_in_dim(
-            a, piv_row[:, None, :], j, axis=1
-        )
-
-    aug = jax.lax.fori_loop(0, m, pivot_step, aug)
-    inv = aug[:, :, m:]
+    inv = jax.lax.linalg.triangular_solve(
+        chol, linv, left_side=True, lower=True, transpose_a=True
+    )
     return 0.5 * (inv + jnp.swapaxes(inv, 1, 2))
 
 
