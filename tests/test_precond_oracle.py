@@ -87,6 +87,23 @@ def test_pcg_schwarz_beats_jacobi():
     assert np.linalg.norm(err) <= 1.1e-4 * np.linalg.norm(np.asarray(b))
 
 
+def test_pcg_converges_on_stiff_system():
+    # The production regime: feather-weight vertices + stiff springs
+    # (block condition numbers ~1e6-1e7). Guards against numerically
+    # fragile factorizations — an f32 Gauss-Jordan inverse passed every
+    # well-conditioned test but stalled CG here (see batched_inverse.py).
+    mesh = cloth.make_grid(32, 32, z_wave=0.02, mass=1e-4)
+    ell = cloth.assemble_system(mesh)
+    pre = SchwarzPreconditioner(SchwarzConfig())
+    pre.allocate(mesh.positions)
+    pre.prepare(ell)
+    rng = np.random.default_rng(5)
+    b = jnp.asarray(rng.standard_normal((mesh.num_verts, 3)).astype(np.float32))
+    res = pcg(lambda x: blockcsr.spmv(ell, x), pre.apply, b, tol=1e-4, max_iters=1000)
+    assert float(res.rel_residual) <= 1e-4
+    assert int(res.iterations) < 400, int(res.iterations)
+
+
 def test_pcg_iterations_stable_across_sizes():
     # Multilevel Schwarz keeps iteration counts roughly flat as N grows
     # (the whole point of the hierarchy).
