@@ -60,6 +60,8 @@ class SchwarzConfig:
     # Both paths are numerically validated against each other; measured
     # throughput on the shared dev chip was parity within session noise,
     # so XLA stays the default until pod-grade measurements say otherwise.
+    # NOTE: the Pallas inverse is unpivoted Gauss-Jordan — avoid it on
+    # severely ill-conditioned systems (see ops/pallas/gj_inverse.py).
     use_pallas_inverse: bool = False
     use_pallas_symv: bool = False
 

@@ -11,6 +11,12 @@ Pivot row/column extraction uses one-hot contractions instead of dynamic
 slicing (Mosaic restricts dynamic indexing on minor dims). No pivoting:
 SPD pivots are positive (padded diagonals are identity-filled,
 cpp:1365-1367), matching the reference's unpivoted elimination.
+
+PRECISION CAVEAT: in f32, Gauss-Jordan loses PSD-ness on severely
+ill-conditioned blocks (cond ~1e7 stiff-cloth systems) and CG stalls;
+the default path stays Cholesky-based (ops/batched_inverse.py). Use this
+kernel for moderately conditioned systems or as the starting point for
+the round-2 mixed-precision blocked factorizer (docs/ROADMAP.md).
 """
 
 from __future__ import annotations

@@ -1,1 +1,1 @@
-from . import pcg  # noqa: F401
+from . import halo, hosts, pcg, sharded  # noqa: F401
