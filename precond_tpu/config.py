@@ -65,6 +65,13 @@ class SchwarzConfig:
     use_pallas_inverse: bool = False
     use_pallas_symv: bool = False
 
+    # Storage dtype of the factorized domain inverses. "bfloat16" halves
+    # the apply-phase HBM traffic (the [B,96,96] read dominates each PCG
+    # iteration); rounding a symmetric matrix entrywise keeps it exactly
+    # symmetric, so CG stays valid — typically costs a few extra
+    # iterations on stiff systems. Accumulation stays f32.
+    inverse_dtype: str = "float32"
+
     def __post_init__(self):
         assert self.bank_size == 32, "bank_size is pinned to 32 (uint32 masks / 96x96 blocks)"
         assert self.closure_iters >= math.ceil(math.log2(self.bank_size))

@@ -43,6 +43,10 @@ def apply_block_inverse(inv96: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """z_b = inv_b @ r_b for every block. ([B,96,96], [B,96]) -> [B,96].
 
     This is the SchwarzLocalXSym hot kernel (cpp:1600-1696) minus the packed
-    banded layout: one batched matvec that XLA maps onto the MXU.
+    banded layout: one batched matvec that XLA maps onto the MXU. inv96 may
+    be stored bf16 (config.inverse_dtype); accumulation is always f32.
     """
-    return jnp.einsum("bij,bj->bi", inv96, rhs, preferred_element_type=jnp.float32)
+    return jnp.einsum(
+        "bij,bj->bi", inv96, rhs.astype(inv96.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.float32)

@@ -79,6 +79,7 @@ def prepare_preconditioner(
         inv96 = invert_spd_blocks_pallas(h96)
     else:
         inv96 = invert_spd_blocks(h96)
+    inv96 = inv96.astype(jnp.dtype(cfg.inverse_dtype))
     return ApplyState(
         sorted_to_orig=maps.sorted_to_orig,
         orig_to_sorted=maps.orig_to_sorted,

@@ -104,6 +104,24 @@ def test_pcg_converges_on_stiff_system():
     assert int(res.iterations) < 400, int(res.iterations)
 
 
+def test_bf16_inverse_still_converges():
+    # bf16-stored domain inverses: symmetric by entrywise rounding, so CG
+    # remains valid; allow a modest iteration penalty vs f32.
+    mesh = cloth.make_grid(24, 24, z_wave=0.02, mass=1e-3)
+    ell = cloth.assemble_system(mesh)
+    rng = np.random.default_rng(6)
+    b = jnp.asarray(rng.standard_normal((mesh.num_verts, 3)).astype(np.float32))
+    its = {}
+    for dtype in ("float32", "bfloat16"):
+        pre = SchwarzPreconditioner(SchwarzConfig(inverse_dtype=dtype))
+        pre.allocate(mesh.positions)
+        pre.prepare(ell)
+        res = pcg(lambda x: blockcsr.spmv(ell, x), pre.apply, b, tol=1e-4, max_iters=1000)
+        assert float(res.rel_residual) <= 1e-4, dtype
+        its[dtype] = int(res.iterations)
+    assert its["bfloat16"] <= 2 * its["float32"] + 10, its
+
+
 def test_pcg_iterations_stable_across_sizes():
     # Multilevel Schwarz keeps iteration counts roughly flat as N grows
     # (the whole point of the hierarchy).
