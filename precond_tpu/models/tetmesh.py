@@ -101,23 +101,93 @@ def element_blocks(positions: jnp.ndarray, tets: jnp.ndarray, lam: float, mu: fl
     return vol[:, None, None, None, None] * ke
 
 
-def assemble_system(mesh: TetMesh, positions: np.ndarray | None = None) -> BlockEll:
-    pos = jnp.asarray(mesh.positions if positions is None else positions)
-    ke = np.asarray(element_blocks(pos, jnp.asarray(mesh.tets), mesh.lam, mesh.mu))
+def ell_structure_from_tets(n: int, tets: np.ndarray):
+    """Host INT-ONLY setup for device-resident tet assembly.
 
+    Unlike springs, several tets contribute to the same (row, col) block,
+    so each ELL slot gets a padded contributor list:
+      off_src  i32[N,K,C]: tet*16 + a_loc*4 + b_loc  (T*16 = padding)
+      diag_src i32[N,D]:   tet*16 + a_loc*5          (self pairs)
+    Device assembly is then gather + sum — no scatters (docs/DESIGN.md §3).
+    """
+    from .. import native
+
+    t_count = len(tets)
+    idx, mask = native.elements_to_adjacency_ell(n, tets)
+    k = idx.shape[1]
+
+    # directed off-diagonal contributions (a!=b): slot of b in row a
+    al, bl = np.meshgrid(np.arange(4), np.arange(4), indexing="ij")
+    sel = al != bl
+    al, bl = al[sel], bl[sel]                       # 12 pairs
+    rows = tets[:, al].reshape(-1).astype(np.int64)  # [T*12]
+    cols = tets[:, bl].reshape(-1).astype(np.int64)
+    src = (np.repeat(np.arange(t_count, dtype=np.int64) * 16, 12)
+           + np.tile(al * 4 + bl, t_count))
+    keys = np.where(mask, np.arange(n, dtype=np.int64)[:, None] * (n + 1) + idx,
+                    np.arange(n, dtype=np.int64)[:, None] * (n + 1) + n).reshape(-1)
+    pos = np.searchsorted(keys, rows * (n + 1) + cols)
+    slot = pos - rows * k
+    assert np.all(slot >= 0) and np.all(slot < k)
+    flat = rows * k + slot                           # target slot per contribution
+    order = np.argsort(flat, kind="stable")
+    flat_s, src_s = flat[order], src[order]
+    # rank within slot
+    first = np.flatnonzero(np.concatenate([[True], flat_s[1:] != flat_s[:-1]]))
+    counts = np.diff(np.append(first, len(flat_s)))
+    c_max = int(counts.max()) if len(counts) else 1
+    rank = np.arange(len(flat_s)) - np.repeat(first, counts)
+    off_src = np.full((n * k, c_max), t_count * 16, np.int64)
+    off_src[flat_s, rank] = src_s
+    off_src = off_src.reshape(n, k, c_max).astype(np.int32)
+
+    # diagonal contributions: tets containing each vertex
+    drows = tets.reshape(-1).astype(np.int64)        # [T*4]
+    dsrc = (np.repeat(np.arange(t_count, dtype=np.int64) * 16, 4)
+            + np.tile(np.arange(4) * 5, t_count))
+    dorder = np.argsort(drows, kind="stable")
+    drows_s, dsrc_s = drows[dorder], dsrc[dorder]
+    dfirst = np.flatnonzero(np.concatenate([[True], drows_s[1:] != drows_s[:-1]]))
+    dcounts = np.diff(np.append(dfirst, len(drows_s)))
+    d_max = int(dcounts.max()) if len(dcounts) else 1
+    drank = np.arange(len(drows_s)) - np.repeat(dfirst, dcounts)
+    diag_src = np.full((n, d_max), t_count * 16, np.int64)
+    diag_src[drows_s, drank] = dsrc_s
+    return idx, mask, off_src, diag_src.astype(np.int32)
+
+
+def fill_ell_tets(idx, mask, off_src, diag_src, positions, tets, lam, mu,
+                  mass_over_dt2) -> BlockEll:
+    """Jittable device assembly: element blocks -> ELL via contributor
+    gathers (the multi-contributor analogue of cloth's slot->spring table)."""
+    ke = element_blocks(positions, tets, lam, mu)            # [T,4,4,3,3]
+    ke_flat = jnp.concatenate(
+        [ke.reshape(-1, 3, 3), jnp.zeros((1, 3, 3), ke.dtype)]
+    )
+    pad = ke_flat.shape[0] - 1
+    blocks = jnp.sum(
+        jnp.take(ke_flat, jnp.minimum(off_src, pad), axis=0), axis=2
+    )                                                         # [N,K,3,3]
+    diag = mass_over_dt2 * jnp.eye(3, dtype=jnp.float32)[None] + jnp.sum(
+        jnp.take(ke_flat, jnp.minimum(diag_src, pad), axis=0), axis=1
+    )
+    return BlockEll(diag=diag, idx=idx, blocks=blocks, mask=mask)
+
+
+def assemble_system(mesh: TetMesh, positions: np.ndarray | None = None) -> BlockEll:
+    """H = (m/dt^2) I + K as BlockEll. Structure on host (ints only),
+    values entirely on device."""
     n = mesh.num_verts
-    t = mesh.tets
-    diag = np.tile((mesh.mass / mesh.dt**2) * np.eye(3, dtype=np.float32), (n, 1, 1))
-    rows, cols, vals = [], [], []
-    for a in range(4):
-        np.add.at(diag, t[:, a], ke[:, a, a])
-        for b in range(4):
-            if a != b:
-                rows.append(t[:, a])
-                cols.append(t[:, b])
-                vals.append(ke[:, a, b])
-    return from_coo(n, np.concatenate(rows), np.concatenate(cols),
-                    np.concatenate(vals, axis=0), diag)
+    idx, mask, off_src, diag_src = ell_structure_from_tets(n, mesh.tets)
+    pos = jnp.asarray(mesh.positions if positions is None else positions)
+    return _fill_tets_jit(
+        jnp.asarray(idx), jnp.asarray(mask), jnp.asarray(off_src),
+        jnp.asarray(diag_src), pos, jnp.asarray(mesh.tets),
+        mesh.lam, mesh.mu, mesh.mass / mesh.dt**2,
+    )
+
+
+_fill_tets_jit = jax.jit(fill_ell_tets)
 
 
 def adjacency_lists(mesh: TetMesh) -> list[np.ndarray]:
