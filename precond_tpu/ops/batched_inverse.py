@@ -28,15 +28,29 @@ def invert_spd_blocks(h96: jnp.ndarray) -> jnp.ndarray:
     is the round-2 replacement (docs/ROADMAP.md).
     """
     b, m, _ = h96.shape
-    chol = jnp.linalg.cholesky(h96)
-    eye = jnp.broadcast_to(jnp.eye(m, dtype=h96.dtype), (b, m, m))
-    linv = jax.lax.linalg.triangular_solve(
-        chol, eye, left_side=True, lower=True, transpose_a=False
-    )
-    inv = jax.lax.linalg.triangular_solve(
-        chol, linv, left_side=True, lower=True, transpose_a=True
-    )
-    return 0.5 * (inv + jnp.swapaxes(inv, 1, 2))
+
+    def _invert(h):
+        chol = jnp.linalg.cholesky(h)
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=h.dtype), h.shape)
+        linv = jax.lax.linalg.triangular_solve(
+            chol, eye, left_side=True, lower=True, transpose_a=False
+        )
+        inv = jax.lax.linalg.triangular_solve(
+            chol, linv, left_side=True, lower=True, transpose_a=True
+        )
+        return 0.5 * (inv + jnp.swapaxes(inv, 1, 2))
+
+    # chunk large batches: the factor/solve pipeline holds ~5 live copies
+    # of the batch, which OOMs a 16GB chip at 1M-vertex block counts
+    chunk = 4096
+    if b <= chunk:
+        return _invert(h96)
+    pad = (-b) % chunk
+    hp = jnp.concatenate(
+        [h96, jnp.broadcast_to(jnp.eye(m, dtype=h96.dtype), (pad, m, m))]
+    ) if pad else h96
+    out = jax.lax.map(_invert, hp.reshape(-1, chunk, m, m))
+    return out.reshape(-1, m, m)[:b]
 
 
 def apply_block_inverse(inv96: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
