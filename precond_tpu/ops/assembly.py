@@ -150,31 +150,23 @@ def _level_rows(idx, otl, lam, ok, blk9, myl, dself9, level: int) -> jnp.ndarray
         padded(myl), padded(dself9),
     )
     args = tuple(a.reshape((-1, chunk) + a.shape[1:]) for a in args)
-    lanes = jnp.arange(BANK)
-    perm = jnp.asarray(_PERM_CY_TO_ROW)
+    ycol = jnp.asarray(_YCOL)
 
     def one(chunk):
         otl_c, lam_c, ok_c, blk9_c, myl_c, dself9_c = chunk
-        c = otl_c.shape[0]
         lane_ot = otl_c % BANK                                 # [C,K]
         lane_my = myl_c % BANK                                 # [C]
-        # one-hot over the 32 lanes only — contraction over K happens
-        # BEFORE expanding to 288 columns (an order of magnitude fewer
-        # bytes than expanding first)
-        oh = ((lane_ot[..., None] == lanes) & ok_c[..., None]
-              & (lam_c == level)[..., None]).astype(jnp.float32)  # [C,K,32]
+        # elementwise expand-then-reduce on the VPU (exact f32). An
+        # einsum formulation measured equal within session noise but
+        # regressed 1M-vertex memory; this form is proven at 1M.
+        sel = ok_c & (lam_c == level)
+        a = (lane_ot[..., None] == ycol) & sel[..., None]      # [C,K,288]
         if level > 0:
-            oh = oh + ((lane_my[:, None, None] == lanes)
-                       & (ok_c & (lam_c < level))[..., None]).astype(jnp.float32)
-        # full-f32 precision: TPU matmuls default to bf16 operands, which
-        # would round every Hessian entry ~0.4%
-        part = jnp.einsum("nky,nkc->ncy", oh, blk9_c,
-                          precision=jax.lax.Precision.HIGHEST)   # [C,9,32]
-        self_oh = (lane_my[:, None] == lanes).astype(jnp.float32)  # [C,32]
-        part = part + dself9_c[:, :, None] * self_oh[:, None, :]
-        # (c*32+y) -> (a*96+y*3+b) column order via one permutation matmul
-        return jnp.dot(part.reshape(c, ROW), perm,
-                       precision=jax.lax.Precision.HIGHEST)
+            sel_ch = ok_c & (lam_c < level)
+            a = a | ((lane_my[:, None, None] == ycol) & sel_ch[..., None])
+        bv = _tile288(blk9_c)                                  # [C,K,288]
+        vals = jnp.sum(a.astype(jnp.float32) * bv, axis=1)     # [C,288]
+        return vals + _diag_rows(dself9_c, lane_my)
 
     out = jax.lax.map(one, args)
     return out.reshape(-1, ROW)[:n]
