@@ -3,54 +3,111 @@
 The reference rebuilds everything per frame; its only cross-frame state is
 the frame counter and the 17-frame-stale Morton sort (cpp:44-52). For long
 simulations the useful persistent state is exactly that plus the solution
-vector: everything is flat arrays, so an npz round-trip suffices (an
-orbax-style checkpointer can be layered on the same tree).
+vector: everything is flat arrays, so an npz round-trip suffices. For
+multi-host pod runs use io/sharded.py (tensorstore/orbax-style per-shard
+files over the same tree).
+
+bfloat16 arrays (cfg.inverse_dtype="bfloat16") are stored as uint16 views
+with a recorded dtype — np.savez would otherwise silently write them as
+raw void ('|V2') which jnp.asarray cannot load back.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import json
 from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 
 from ..ops.apply import ApplyState
 from ..solver import SchwarzPreconditioner, SortMaps
 
+_EXOTIC = {np.dtype(ml_dtypes.bfloat16): np.uint16}
 
-def _flatten(prefix: str, tree: Any, out: Dict[str, np.ndarray]) -> None:
+
+def _flatten(prefix: str, tree: Any, out: Dict[str, np.ndarray],
+             dtypes: Dict[str, str]) -> None:
     if hasattr(tree, "_asdict"):
         for k, v in tree._asdict().items():
-            _flatten(f"{prefix}{k}.", v, out)
+            _flatten(f"{prefix}{k}.", v, out, dtypes)
     else:
-        out[prefix.rstrip(".")] = np.asarray(tree)
+        a = np.asarray(tree)
+        key = prefix.rstrip(".")
+        if a.dtype in _EXOTIC:
+            dtypes[key] = a.dtype.name
+            a = a.view(_EXOTIC[a.dtype])
+        out[key] = a
+
+
+def _restore(data, key: str, dtypes: Dict[str, str]) -> jnp.ndarray:
+    a = data[key]
+    if key in dtypes:
+        a = a.view(np.dtype(dtypes[key]))
+    return jnp.asarray(a)
+
+
+def _fingerprint(pre: SchwarzPreconditioner) -> Dict[str, Any]:
+    fp: Dict[str, Any] = dataclasses.asdict(pre.cfg)
+    if pre.maps is not None:
+        fp["num_verts"] = int(pre.maps.sorted_to_orig.shape[0])
+    return fp
 
 
 def save_solver(path: str, pre: SchwarzPreconditioner, x: Optional[jnp.ndarray] = None) -> None:
     """Persist sort maps, apply-state and (optionally) the solution vector."""
     arrays: Dict[str, np.ndarray] = {"frame_index": np.asarray(pre.frame_index)}
+    dtypes: Dict[str, str] = {}
     if pre.maps is not None:
-        _flatten("maps.", pre.maps, arrays)
+        _flatten("maps.", pre.maps, arrays, dtypes)
     if pre.state is not None:
-        _flatten("state.", pre.state, arrays)
+        _flatten("state.", pre.state, arrays, dtypes)
     if x is not None:
-        arrays["x"] = np.asarray(x)
+        _flatten("x", x, arrays, dtypes)
+    arrays["__dtypes__"] = np.frombuffer(
+        json.dumps(dtypes).encode(), dtype=np.uint8
+    ).copy()
+    arrays["__fingerprint__"] = np.frombuffer(
+        json.dumps(_fingerprint(pre), sort_keys=True).encode(), dtype=np.uint8
+    ).copy()
     np.savez_compressed(path, **arrays)
 
 
 def load_solver(path: str, pre: SchwarzPreconditioner) -> Optional[jnp.ndarray]:
-    """Restore a solver checkpoint into `pre`; returns the solution if saved."""
+    """Restore a solver checkpoint into `pre`; returns the solution if saved.
+
+    Refuses a checkpoint whose config/mesh fingerprint disagrees with the
+    receiving solver — a mismatched N or level geometry would otherwise load
+    silently and fail later with shape errors or wrong preconditioning.
+    """
     data = np.load(path)
+    dtypes: Dict[str, str] = {}
+    if "__dtypes__" in data:
+        dtypes = json.loads(bytes(data["__dtypes__"].tobytes()).decode())
+    if "__fingerprint__" in data:
+        saved = json.loads(bytes(data["__fingerprint__"].tobytes()).decode())
+        mine = _fingerprint(pre)
+        saved_n = saved.pop("num_verts", None)
+        mine_n = mine.pop("num_verts", None)
+        if saved != mine:
+            raise ValueError(
+                f"checkpoint config mismatch: saved {saved} vs solver {mine}"
+            )
+        if saved_n is not None and mine_n is not None and saved_n != mine_n:
+            raise ValueError(
+                f"checkpoint mesh mismatch: saved num_verts={saved_n} vs {mine_n}"
+            )
     pre.frame_index = int(data["frame_index"])
     if "maps.sorted_to_orig" in data:
         pre.maps = SortMaps(
-            sorted_to_orig=jnp.asarray(data["maps.sorted_to_orig"]),
-            orig_to_sorted=jnp.asarray(data["maps.orig_to_sorted"]),
+            sorted_to_orig=_restore(data, "maps.sorted_to_orig", dtypes),
+            orig_to_sorted=_restore(data, "maps.orig_to_sorted", dtypes),
         )
     if "state.inv96" in data:
         pre.state = ApplyState(
-            **{f: jnp.asarray(data[f"state.{f}"]) for f in ApplyState._fields}
+            **{f: _restore(data, f"state.{f}", dtypes) for f in ApplyState._fields}
         )
-    return jnp.asarray(data["x"]) if "x" in data else None
+    return _restore(data, "x", dtypes) if "x" in data else None

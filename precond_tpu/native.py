@@ -28,8 +28,10 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     _lib_tried = True
     try:
-        if not os.path.exists(_LIB_PATH):
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+        # Always invoke make: it no-ops when the .so is newer than the
+        # source, and rebuilds when graph_builder.cpp changed — a stale
+        # binary must never shadow a source edit.
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
         lib = ctypes.CDLL(_LIB_PATH)
         i32p = ctypes.POINTER(ctypes.c_int)
         f32p = ctypes.POINTER(ctypes.c_float)

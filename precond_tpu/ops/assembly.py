@@ -41,13 +41,7 @@ from .hierarchy import BANK, Hierarchy
 ROW = 3 * BANK * 3  # 288 columns per node row
 _COLS = np.arange(ROW)
 _YCOL = ((_COLS % 96) // 3).astype(np.int32)             # lane (other node % 32)
-_CCOL = ((_COLS // 96) * 3 + _COLS % 3).astype(np.int32)  # 3x3 component a*3+b
 _CHUNK = 16384
-# permutation (c*32+y) source order -> (a*96+y*3+b) destination order,
-# applied as one MXU matmul (a 288-wide static-index gather lowers to a
-# slow per-element gather; a [288,288] permutation matmul does not)
-_PERM_CY_TO_ROW = np.zeros((ROW, ROW), np.float32)
-_PERM_CY_TO_ROW[_CCOL * BANK + _YCOL, _COLS] = 1.0
 
 
 def node_ancestor_table(going_next: jnp.ndarray, levels: int, total: int) -> jnp.ndarray:
