@@ -33,9 +33,9 @@ def main():
     from precond_tpu.config import SchwarzConfig
     from precond_tpu.models import cloth
     from precond_tpu.ops import blockcsr
-    from precond_tpu.ops.apply import precondition
+    from precond_tpu.ops.apply import precondition_sorted
     from precond_tpu.parallel.pcg import jacobi_preconditioner, pcg
-    from precond_tpu.solver import compute_sort_maps, prepare_preconditioner
+    from precond_tpu.solver import compute_sort_maps, prepare_with_system
 
     grid = int(os.environ.get("BENCH_GRID", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "50"))
@@ -60,41 +60,47 @@ def main():
 
     # ---- prepare (hierarchy + assembly + factorization) ------------------
     # min-of-3: the shared chip's per-dispatch floor varies per session by
-    # orders of magnitude (docs/DESIGN.md §3); min damps that noise.
-    prep = jax.jit(lambda e, m: prepare_preconditioner(e, m, cfg))
-    state = prep(ell, maps)
-    sync(state.inv96)
+    # orders of magnitude (docs/DESIGN.md §3); min damps that noise. The
+    # sync is a SCALAR fetch — fetching a whole array would drag ~100MB
+    # through the tunnel and pollute the timing by seconds.
+    prep = jax.jit(lambda e, m: prepare_with_system(e, m, cfg))
+    state, ells = prep(ell, maps)
+    sync(state.inv96[0, 0, :1])
     prepare_s = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        state = prep(ell, maps)
-        sync(state.inv96)
+        state, ells = prep(ell, maps)
+        sync(state.inv96[0, 0, :1])
         prepare_s = min(prepare_s, time.perf_counter() - t0)
+    b_sorted = jnp.take(b, state.sorted_to_orig, axis=0)
 
     # ---- iteration throughput: k fused PCG iterations --------------------
     # NOTE: big arrays must be jit ARGUMENTS, not closures — closed-over
     # arrays are embedded as program constants and the remote-compile
     # request blows past the tunnel's size limit at 1M vertices.
-    def k_iterations(ell, state, b):
+    # Whole solve lives in Morton-sorted space (b permuted once above):
+    # drops the two N-row permute gathers per iteration that the
+    # original-order precondition() pays, and makes SpMV gathers local.
+    def k_iterations(ells, state, b):
         def body(_, carry):
             x, r, p, z, rz = carry
-            q = blockcsr.spmv(ell, p)
+            q = blockcsr.spmv(ells, p)
             alpha = rz / jnp.sum(p * q)
             x = x + alpha * p
             r = r - alpha * q
-            z = precondition(state, r, cfg)
+            z = precondition_sorted(state, r, cfg)
             rz_new = jnp.sum(r * z)
             p = z + (rz_new / rz) * p
             return (x, r, p, z, rz_new)
 
-        z0 = precondition(state, b, cfg)
+        z0 = precondition_sorted(state, b, cfg)
         init = (jnp.zeros_like(b), b, z0, z0, jnp.sum(b * z0))
-        return jax.lax.fori_loop(0, iters, body, init)[0]
+        return jax.lax.fori_loop(0, iters, body, init)[0][0, :1]
 
     kit = jax.jit(k_iterations)
-    sync(kit(ell, state, b))  # compile + warm
+    sync(kit(ells, state, b_sorted))  # compile + warm
     t0 = time.perf_counter()
-    sync(kit(ell, state, b))
+    sync(kit(ells, state, b_sorted))
     iter_s = (time.perf_counter() - t0) / iters
 
     nnz_spmv = int(9 * (n + int(np.asarray(ell.mask).sum())))
@@ -106,7 +112,7 @@ def main():
     # ---- solve-time speedup vs block-Jacobi ------------------------------
     solve_schwarz = jax.jit(
         lambda e, st, b: pcg(lambda v: blockcsr.spmv(e, v),
-                             lambda r: precondition(st, r, cfg), b,
+                             lambda r: precondition_sorted(st, r, cfg), b,
                              tol=1e-4, max_iters=2000)
     )
     solve_jacobi = jax.jit(
@@ -116,18 +122,19 @@ def main():
     )
     dinv = jnp.linalg.inv(ell.diag)
 
-    rs = solve_schwarz(ell, state, b)
-    sync(rs.x)
+    rs = solve_schwarz(ells, state, b_sorted)
+    sync(rs.x[0, :1])
     t0 = time.perf_counter()
-    rs = solve_schwarz(ell, state, b)
-    sync(rs.x)
-    t_schwarz = time.perf_counter() - t0 + prepare_s
+    rs = solve_schwarz(ells, state, b_sorted)
+    sync(rs.x[0, :1])
+    t_schwarz_iter = time.perf_counter() - t0
+    t_schwarz = t_schwarz_iter + prepare_s
 
     rj = solve_jacobi(ell, dinv, b)
-    sync(rj.x)
+    sync(rj.x[0, :1])
     t0 = time.perf_counter()
     rj = solve_jacobi(ell, dinv, b)
-    sync(rj.x)
+    sync(rj.x[0, :1])
     t_jacobi = time.perf_counter() - t0
 
     print(
@@ -137,6 +144,7 @@ def main():
                 "value": round(nnz_per_s / 1e9, 4),
                 "unit": "Gnnz/s",
                 "vs_baseline": round(t_jacobi / t_schwarz, 3),
+                "vs_baseline_excl_prepare": round(t_jacobi / t_schwarz_iter, 3),
                 "grid": grid,
                 "num_verts": n,
                 "iter_ms": round(iter_s * 1e3, 4),

@@ -55,14 +55,19 @@ class SchwarzConfig:
     # cpp:600-614; we square a boolean adjacency matrix on the MXU).
     closure_iters: int = 5
 
-    # Use the hand-written Pallas kernels (ops/pallas/) for the batched
-    # 96x96 inverse and the apply symv instead of the XLA formulations.
-    # Both paths are numerically validated against each other; measured
-    # throughput on the shared dev chip was parity within session noise,
-    # so XLA stays the default until pod-grade measurements say otherwise.
-    # NOTE: the Pallas inverse is unpivoted Gauss-Jordan — avoid it on
-    # severely ill-conditioned systems (see ops/pallas/gj_inverse.py).
-    use_pallas_inverse: bool = False
+    # Use the Pallas LDL^T-inverse kernel (ops/pallas/chol_inverse.py) for
+    # the batched 96x96 factorization when running on an accelerator
+    # backend. It is VMEM-resident (HBM traffic = read-A + write-inverse),
+    # produces an exactly-symmetric PSD inverse (Gram form), and replaces
+    # the per-matrix-serialized XLA cholesky+triangular_solve path that
+    # dominated round-1 prepare. On CPU backends the XLA path is always
+    # used (Mosaic kernels would need the slow interpreter).
+    use_pallas_inverse: bool = True
+    # Blocks factorized per Pallas grid step (VMEM holds 2 scratch copies;
+    # 32 measured best on v5e, 64 exceeds VMEM and fails to compile).
+    pallas_inverse_group: int = 32
+    # Pallas symv for the apply phase (off: the XLA batched einsum already
+    # streams inv96 at memory speed; kept as an A/B hook).
     use_pallas_symv: bool = False
 
     # Storage dtype of the factorized domain inverses. "bfloat16" halves

@@ -92,10 +92,16 @@ def prolong_and_collect(
     return z
 
 
-def precondition(state: ApplyState, r: jnp.ndarray, cfg: SchwarzConfig) -> jnp.ndarray:
-    """z = M⁻¹ r with r, z in original vertex order. f32[N,3] -> f32[N,3]."""
-    n = r.shape[0]
-    r_sorted = jnp.take(r, state.sorted_to_orig, axis=0)
+def precondition_sorted(
+    state: ApplyState, r_sorted: jnp.ndarray, cfg: SchwarzConfig
+) -> jnp.ndarray:
+    """z = M⁻¹ r entirely in Morton-sorted vertex order. f32[N,3] -> f32[N,3].
+
+    The permutes to/from original order cost two N-row gathers per PCG
+    iteration; a solve that keeps x/r/p/z in sorted space (permuting b once
+    before and x once after the loop) avoids them — use this entry point.
+    """
+    n = r_sorted.shape[0]
     mr = restrict_residual(r_sorted, state.going_next, cfg, n)
     rhs = mr.reshape(-1, 3 * BANK)                       # [B,96]
     if cfg.use_pallas_symv:
@@ -105,7 +111,13 @@ def precondition(state: ApplyState, r: jnp.ndarray, cfg: SchwarzConfig) -> jnp.n
     else:
         z96 = apply_block_inverse(state.inv96, rhs)
     mz = z96.reshape(-1, 3)                              # [total,3]
-    z_sorted = prolong_and_collect(
+    return prolong_and_collect(
         mz, state.ancestors, state.sorted_to_orig, state.going_next, cfg, n
     )
+
+
+def precondition(state: ApplyState, r: jnp.ndarray, cfg: SchwarzConfig) -> jnp.ndarray:
+    """z = M⁻¹ r with r, z in original vertex order. f32[N,3] -> f32[N,3]."""
+    r_sorted = jnp.take(r, state.sorted_to_orig, axis=0)
+    z_sorted = precondition_sorted(state, r_sorted, cfg)
     return jnp.take(z_sorted, state.orig_to_sorted, axis=0)

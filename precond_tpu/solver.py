@@ -43,17 +43,18 @@ def compute_sort_maps(positions: jnp.ndarray) -> SortMaps:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def prepare_preconditioner(
+def prepare_with_system(
     ell: BlockEll,
     maps: SortMaps,
     cfg: SchwarzConfig,
     stencils: Optional[Stencils] = None,
-) -> ApplyState:
-    """Build hierarchy, assemble banked Hessians, factorize. Fully jitted.
+):
+    """prepare_preconditioner that also returns the Morton-sorted system.
 
-    `ell` is the system matrix in ORIGINAL vertex order; the vertex
-    adjacency the reference takes separately (m_neighbours, h:51) is read
-    off the same ELL sparsity, which keeps the two always consistent.
+    Returns (ApplyState, BlockEll): the sorted ELL is the matrix PCG should
+    iterate on — solving P H Pᵀ (P x) = P b in sorted space drops the two
+    N-row permutes per iteration that `precondition` pays, and the SpMV
+    gathers become spatially local (Morton neighbors are nearby rows).
     """
     n = ell.num_verts
     ell_sorted = permute(ell, maps.sorted_to_orig, maps.orig_to_sorted)
@@ -73,14 +74,14 @@ def prepare_preconditioner(
 
     hier = hi.build_hierarchy(ell_sorted.idx, ell_sorted.mask, cfg, pairs)
     h96 = assemble_banked_hessian(ell_sorted, hier, cfg, terms)
-    if cfg.use_pallas_inverse:
-        from .ops.pallas.gj_inverse import invert_spd_blocks_pallas
+    if cfg.use_pallas_inverse and jax.default_backend() != "cpu":
+        from .ops.pallas.chol_inverse import invert_spd_blocks_chol
 
-        inv96 = invert_spd_blocks_pallas(h96)
+        inv96 = invert_spd_blocks_chol(h96, group=cfg.pallas_inverse_group)
     else:
         inv96 = invert_spd_blocks(h96)
     inv96 = inv96.astype(jnp.dtype(cfg.inverse_dtype))
-    return ApplyState(
+    state = ApplyState(
         sorted_to_orig=maps.sorted_to_orig,
         orig_to_sorted=maps.orig_to_sorted,
         going_next=hier.going_next,
@@ -88,6 +89,23 @@ def prepare_preconditioner(
         inv96=inv96,
         overflow=hier.overflow,
     )
+    return state, ell_sorted
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def prepare_preconditioner(
+    ell: BlockEll,
+    maps: SortMaps,
+    cfg: SchwarzConfig,
+    stencils: Optional[Stencils] = None,
+) -> ApplyState:
+    """Build hierarchy, assemble banked Hessians, factorize. Fully jitted.
+
+    `ell` is the system matrix in ORIGINAL vertex order; the vertex
+    adjacency the reference takes separately (m_neighbours, h:51) is read
+    off the same ELL sparsity, which keeps the two always consistent.
+    """
+    return prepare_with_system(ell, maps, cfg, stencils)[0]
 
 
 class SchwarzPreconditioner:
