@@ -108,6 +108,7 @@ class ClothSim:
         collision_stiffness: float = 0.0,
         collision_threshold: float = 0.0,
         collision_budget: int = 256,
+        collision_cell_cap: int = 16,
     ):
         self.mesh = mesh
         self.cfg = cfg
@@ -121,6 +122,7 @@ class ClothSim:
         self.collision_stiffness = collision_stiffness
         self.collision_threshold = collision_threshold
         self.collision_budget = collision_budget
+        self.collision_cell_cap = collision_cell_cap
 
         self.pre = SchwarzPreconditioner(cfg)
         # fixed ELL sparsity from rest topology; per-step refresh is jitted
@@ -155,6 +157,7 @@ class ClothSim:
         c_thresh, c_stiff, c_budget = (
             self.collision_threshold, self.collision_stiffness, self.collision_budget
         )
+        c_cap = self.collision_cell_cap
 
         @jax.jit
         def step_fn(ell0, maps, springs, stiffness, rest_pos, sos, faces, edges,
@@ -169,9 +172,26 @@ class ClothSim:
             )
 
             stencils = None
+            detect_info = None
             if collide:
-                vf = collision_model.detect_vf(x, faces, c_thresh, c_stiff, c_budget)
-                stencils = build_stencils(edges, faces, vf=vf)
+                # Hash-grid broad phase, all three set types (the reference
+                # consumes EF+EE+VF, cpp:67-72), per-vertex/edge budget from
+                # cfg.max_collision_per_vert (cpp:187-188).
+                kv = cfg.max_collision_per_vert
+                vf, i1 = collision_model.detect_vf_grid(
+                    x, faces, c_thresh, c_stiff, c_budget,
+                    per_vertex_cap=kv, cell_cap=c_cap)
+                ee, i2 = collision_model.detect_ee_grid(
+                    x, edges, c_thresh, c_stiff, c_budget,
+                    per_edge_cap=kv, cell_cap=c_cap)
+                ef, i3 = collision_model.detect_ef_grid(
+                    x, edges, faces, c_thresh, c_stiff, c_budget,
+                    per_edge_cap=kv, cell_cap=c_cap)
+                stencils = build_stencils(edges, faces, ef=ef, ee=ee, vf=vf)
+                detect_info = collision_model.DetectInfo(
+                    truncated=i1.truncated | i2.truncated | i3.truncated,
+                    dropped=i1.dropped + i2.dropped + i3.dropped,
+                )
 
             from ..solver import prepare_preconditioner
             from ..ops.apply import precondition
@@ -199,7 +219,7 @@ class ClothSim:
             )
             dx = jnp.where(pinned[:, None], 0.0, res.x)
             x_new = x + dx
-            return x_new, (x_new - x) / dt, res
+            return x_new, (x_new - x) / dt, res, detect_info
 
         return step_fn
 
@@ -207,7 +227,7 @@ class ClothSim:
         """Advance one frame: re-sort on cadence (host), then one dispatch."""
         x, v = self.state.positions, self.state.velocities
         self.pre.allocate(x)  # refreshes Morton maps on the configured cadence
-        x_new, v_new, res = self._step_fn(
+        x_new, v_new, res, detect_info = self._step_fn(
             self._ell0, self.pre.maps, self._springs_d, self._stiff_d,
             self._rest_pos, self._sos_d, self._faces_d, self._edges_d,
             self.pinned, self.gravity, x, v,
@@ -215,4 +235,5 @@ class ClothSim:
         self.state = SimState(positions=x_new, velocities=v_new,
                               step_count=self.state.step_count + 1)
         self.last_solve = res
+        self.last_detect_info = detect_info
         return self.state

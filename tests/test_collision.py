@@ -72,3 +72,101 @@ def test_detect_to_prepare_roundtrip():
     r = rng.standard_normal((2 * n1, 3)).astype(np.float32)
     z = np.asarray(pre.apply(jnp.asarray(r)))
     assert np.all(np.isfinite(z))
+
+
+# ---- hash-grid broad phase ------------------------------------------------
+
+def _two_layer(n=10, gap=0.012):
+    m1 = cloth.make_grid(n, n)
+    n1 = m1.num_verts
+    pos = np.concatenate([m1.positions, m1.positions + [0, 0, gap]]).astype(np.float32)
+    faces = np.concatenate([m1.faces, m1.faces + n1]).astype(np.int32)
+    edges = np.concatenate(
+        [m1.edges, np.where(m1.edges >= 0, m1.edges + n1, -1)]
+    ).astype(np.int32)
+    return pos, edges, faces
+
+
+def _pair_set(ids_a, ids_b):
+    a, b = np.asarray(ids_a), np.asarray(ids_b)
+    ok = (a >= 0) & (b >= 0)
+    return set(zip(a[ok].tolist(), b[ok].tolist()))
+
+
+def test_vf_grid_matches_bruteforce():
+    pos, edges, faces = _two_layer()
+    vf_b = collision.detect_vf(jnp.asarray(pos), jnp.asarray(faces), 0.02, 1.0, 4096)
+    vf_g, info = collision.detect_vf_grid(
+        jnp.asarray(pos), jnp.asarray(faces), 0.02, 1.0, 4096,
+        per_vertex_cap=32, cell_cap=16,
+    )
+    assert not bool(info.truncated)
+    assert int(info.dropped) == 0
+    assert _pair_set(vf_g.v_id, vf_g.f_id) == _pair_set(vf_b.v_id, vf_b.f_id)
+    ok = np.asarray(vf_g.v_id) >= 0
+    norms = np.linalg.norm(np.asarray(vf_g.normal)[ok], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_ee_grid_matches_bruteforce():
+    pos, edges, faces = _two_layer()
+    ee_b = collision.detect_ee(jnp.asarray(pos), jnp.asarray(edges), 0.015, 1.0, 4096)
+    ee_g, info = collision.detect_ee_grid(
+        jnp.asarray(pos), jnp.asarray(edges), 0.015, 1.0, 4096,
+        per_edge_cap=32, cell_cap=32,
+    )
+    assert not bool(info.truncated)
+    assert _pair_set(ee_g.e_id0, ee_g.e_id1) == _pair_set(ee_b.e_id0, ee_b.e_id1)
+
+
+def test_ef_grid_matches_bruteforce():
+    pos, edges, faces = _two_layer()
+    ef_b = collision.detect_ef(
+        jnp.asarray(pos), jnp.asarray(edges), jnp.asarray(faces), 0.02, 1.0, 4096
+    )
+    ef_g, info = collision.detect_ef_grid(
+        jnp.asarray(pos), jnp.asarray(edges), jnp.asarray(faces), 0.02, 1.0, 4096,
+        per_edge_cap=32, cell_cap=16,
+    )
+    assert not bool(info.truncated)
+    assert _pair_set(ef_g.e_id, ef_g.f_id) == _pair_set(ef_b.e_id, ef_b.f_id)
+
+
+def test_vf_grid_per_vertex_budget():
+    # One vertex surrounded by many faces: the per-vertex cap bounds how
+    # many pairs that vertex can claim, so other vertices keep theirs.
+    pos, edges, faces = _two_layer()
+    _, info_tight = collision.detect_vf_grid(
+        jnp.asarray(pos), jnp.asarray(faces), 0.02, 1.0, 4096,
+        per_vertex_cap=1, cell_cap=16,
+    )
+    vf, _ = collision.detect_vf_grid(
+        jnp.asarray(pos), jnp.asarray(faces), 0.02, 1.0, 4096,
+        per_vertex_cap=1, cell_cap=16,
+    )
+    vids = np.asarray(vf.v_id)
+    vids = vids[vids >= 0]
+    # no vertex appears more than once under cap=1
+    assert np.unique(vids).size == vids.size
+
+
+def test_vf_grid_chunked_equals_unchunked():
+    pos, edges, faces = _two_layer()
+    a, _ = collision.detect_vf_grid(
+        jnp.asarray(pos), jnp.asarray(faces), 0.02, 1.0, 512,
+        per_vertex_cap=8, cell_cap=16, chunk=64,
+    )
+    b, _ = collision.detect_vf_grid(
+        jnp.asarray(pos), jnp.asarray(faces), 0.02, 1.0, 512,
+        per_vertex_cap=8, cell_cap=16,
+    )
+    assert _pair_set(a.v_id, a.f_id) == _pair_set(b.v_id, b.f_id)
+
+
+def test_vf_grid_dropped_counter():
+    pos, edges, faces = _two_layer()
+    _, info = collision.detect_vf_grid(
+        jnp.asarray(pos), jnp.asarray(faces), 0.02, 1.0, 4,
+        per_vertex_cap=8, cell_cap=16,
+    )
+    assert int(info.dropped) > 0
