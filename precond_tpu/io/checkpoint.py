@@ -51,7 +51,9 @@ def _restore(data, key: str, dtypes: Dict[str, str]) -> jnp.ndarray:
 
 
 def _fingerprint(pre: SchwarzPreconditioner) -> Dict[str, Any]:
-    fp: Dict[str, Any] = dataclasses.asdict(pre.cfg)
+    # cfg_effective (not cfg): overflow recovery may have grown
+    # level_headroom, and the saved state's level geometry follows it.
+    fp: Dict[str, Any] = dataclasses.asdict(pre.cfg_effective)
     if pre.maps is not None:
         fp["num_verts"] = int(pre.maps.sorted_to_orig.shape[0])
     return fp
@@ -92,6 +94,10 @@ def load_solver(path: str, pre: SchwarzPreconditioner) -> Optional[jnp.ndarray]:
         mine = _fingerprint(pre)
         saved_n = saved.pop("num_verts", None)
         mine_n = mine.pop("num_verts", None)
+        # level_headroom may legitimately differ: a checkpoint written after
+        # overflow recovery restores its grown headroom into the receiver.
+        saved_headroom = saved.pop("level_headroom", None)
+        mine.pop("level_headroom", None)
         if saved != mine:
             raise ValueError(
                 f"checkpoint config mismatch: saved {saved} vs solver {mine}"
@@ -99,6 +105,10 @@ def load_solver(path: str, pre: SchwarzPreconditioner) -> Optional[jnp.ndarray]:
         if saved_n is not None and mine_n is not None and saved_n != mine_n:
             raise ValueError(
                 f"checkpoint mesh mismatch: saved num_verts={saved_n} vs {mine_n}"
+            )
+        if saved_headroom is not None:
+            pre.cfg_effective = dataclasses.replace(
+                pre.cfg, level_headroom=saved_headroom
             )
     pre.frame_index = int(data["frame_index"])
     if "maps.sorted_to_orig" in data:

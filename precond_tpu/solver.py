@@ -111,8 +111,14 @@ def prepare_preconditioner(
 class SchwarzPreconditioner:
     """Stateful convenience wrapper over the functional phases."""
 
+    #: retries of prepare() with doubled level_headroom on capacity overflow
+    MAX_OVERFLOW_RETRIES = 4
+
     def __init__(self, cfg: SchwarzConfig = SchwarzConfig()):
         self.cfg = cfg
+        # cfg actually used to build the current state; grows level_headroom
+        # on overflow recovery. apply() must use this one (level offsets!).
+        self.cfg_effective = cfg
         self.frame_index = 0
         self.maps: Optional[SortMaps] = None
         self.state: Optional[ApplyState] = None
@@ -125,9 +131,32 @@ class SchwarzPreconditioner:
         self.frame_index += 1
 
     def prepare(self, ell: BlockEll, stencils: Optional[Stencils] = None) -> None:
+        """Hierarchy + assembly + factorization, with overflow recovery.
+
+        If clustering exceeds a level's static capacity the builder clamps
+        cluster ids and raises `state.overflow` (ops/hierarchy.py); silently
+        solving with a clamped hierarchy would misroute Hessian blocks, so
+        rebuild with doubled level_headroom until it fits (the reference
+        cannot hit this: its levels are sized after counting, cpp:1028-1032,
+        at the price of data-dependent shapes)."""
         assert self.maps is not None, "call allocate() first"
-        self.state = prepare_preconditioner(ell, self.maps, self.cfg, stencils)
+        import dataclasses
+        import warnings
+
+        cfg = self.cfg_effective
+        for _ in range(self.MAX_OVERFLOW_RETRIES + 1):
+            state = prepare_preconditioner(ell, self.maps, cfg, stencils)
+            if not bool(state.overflow):
+                break
+            grown = dataclasses.replace(cfg, level_headroom=cfg.level_headroom * 2.0)
+            warnings.warn(
+                "hierarchy level capacity overflow; rebuilding with "
+                f"level_headroom={grown.level_headroom} (was {cfg.level_headroom})"
+            )
+            cfg = grown
+        self.cfg_effective = cfg
+        self.state = state
 
     def apply(self, r: jnp.ndarray) -> jnp.ndarray:
         assert self.state is not None, "call prepare() first"
-        return precondition(self.state, jnp.asarray(r), self.cfg)
+        return precondition(self.state, jnp.asarray(r), self.cfg_effective)

@@ -65,3 +65,30 @@ def test_aabb_extent_degenerate():
     assert np.all(np.asarray(box.extent) == 1.0)
     unit = aabb.to_unit_cube(pts, box)
     assert np.all(np.isfinite(np.asarray(unit)))
+
+
+def test_aabb_predicates():
+    """contain / overlap / segment-slab (reference SeAabb.h:109-178; the
+    radius-contain and IsOverlap variants are buggy/stubbed there and are
+    implemented for real here)."""
+    box = aabb.Aabb(lower=jnp.asarray([0.0, 0.0, 0.0]), upper=jnp.asarray([1.0, 2.0, 3.0]))
+
+    pts = jnp.asarray([[0.5, 1.0, 1.5], [1.5, 1.0, 1.5], [-0.05, 0.0, 0.0]])
+    np.testing.assert_array_equal(
+        np.asarray(aabb.contains(box, pts)), [True, False, False])
+    np.testing.assert_array_equal(
+        np.asarray(aabb.contains(box, pts, radius=0.1)), [True, False, True])
+
+    other = aabb.Aabb(lower=jnp.asarray([0.9, 1.9, 2.9]), upper=jnp.asarray([2.0, 3.0, 4.0]))
+    disjoint = aabb.Aabb(lower=jnp.asarray([1.1, 0.0, 0.0]), upper=jnp.asarray([2.0, 1.0, 1.0]))
+    assert bool(aabb.overlaps(box, other))
+    assert not bool(aabb.overlaps(box, disjoint))
+
+    pa = jnp.asarray([[-1.0, 1.0, 1.5], [-1.0, 3.0, 1.5], [0.2, 0.5, 0.5]])
+    pb = jnp.asarray([[2.0, 1.0, 1.5], [2.0, 3.0, 1.5], [0.8, 0.5, 0.5]])
+    hits = np.asarray(aabb.segment_intersects(box, pa, pb))
+    np.testing.assert_array_equal(hits, [True, False, True])  # crossing, missing, inside
+
+    grown = aabb.grow(box, jnp.asarray([[2.0, -1.0, 0.5]]))
+    np.testing.assert_allclose(np.asarray(grown.upper), [2.0, 2.0, 3.0])
+    np.testing.assert_allclose(np.asarray(grown.lower), [0.0, -1.0, 0.0])
