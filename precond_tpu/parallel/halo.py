@@ -39,8 +39,13 @@ from .pcg import PcgResult, pcg
 class HaloSystem(NamedTuple):
     """Sorted-order ELL system with halo-local column indices.
 
-    idx_ext[v, k] indexes into the halo-extended local x of v's shard:
-    [halo left rows | own rows | halo right rows].
+    Contiguous mode (halo >= 0): idx_ext[v, k] indexes into the
+    halo-extended local x of v's shard: [halo left | own | halo right].
+
+    Sparse mode (halo == -1, wide Morton jumps): idx_ext[v, k] indexes
+    [own rows | remote rows in this shard's need-list order]; the
+    send/recv tables drive one all_to_all of exactly the off-shard rows
+    each shard consumes — comm volume O(boundary), never O(N).
     """
 
     diag: jnp.ndarray     # f32[N,3,3] (sorted order)
@@ -48,6 +53,9 @@ class HaloSystem(NamedTuple):
     blocks: jnp.ndarray   # f32[N,K,3,3]
     halo: int
     shard_rows: int
+    # sparse-mode exchange tables (empty in contiguous mode)
+    send_idx: jnp.ndarray   # i32[nsh, nsh, S]: src-local rows to send to each dst
+    recv_perm: jnp.ndarray  # i32[nsh, R]: need-slot -> flat (src, slot) in the received block
 
 
 class ShardedApply(NamedTuple):
@@ -62,12 +70,29 @@ class ShardedApply(NamedTuple):
     total_coarse: int
 
 
+def _empty_tables(num_shards: int):
+    return (
+        jnp.zeros((num_shards, num_shards, 0), jnp.int32),
+        jnp.zeros((num_shards, 0), jnp.int32),
+    )
+
+
 def build_halo_system(ell_sorted: BlockEll, num_shards: int) -> HaloSystem:
     """Convert a sorted-order ELL matrix to halo-local column indexing.
 
-    Host-side (NumPy): computes the max halo any shard needs and asserts
-    every column lands inside it. N must divide evenly into bank-aligned
-    shards.
+    Host-side (NumPy). Two modes:
+
+    * contiguous halo — when every off-shard column lies within one shard
+      width of its row's shard, columns become halo-buffer offsets and the
+      runtime exchange is two ring ppermutes of `halo` rows;
+    * sparse remote lists — wide Morton quadrant jumps can reference rows
+      arbitrarily far away. Each shard's exact off-shard column set is
+      precomputed, send lists are built per (src, dst) pair, and the
+      runtime exchange is one all_to_all of exactly those rows. Comm
+      volume stays O(boundary); the round-1 fallback (all-gather of the
+      whole x per SpMV) is gone.
+
+    N must divide evenly into bank-aligned shards.
     """
     n, k = ell_sorted.idx.shape
     assert n % (num_shards * BANK) == 0, "pad N to num_shards*32 first"
@@ -79,26 +104,75 @@ def build_halo_system(ell_sorted: BlockEll, num_shards: int) -> HaloSystem:
     off = np.where(mask, idx - base, 0)
     halo = int(max(0, max(-off.min(), off.max() - rows_per + 1)))
     halo = -(-halo // BANK) * BANK  # bank-align
-    if halo > rows_per:
-        # Morton order keeps MOST neighbors close, but pairs straddling a
-        # high quadrant boundary can be arbitrarily far apart in rank; when
-        # the worst jump exceeds one shard, fall back to an all-gather of x
-        # per SpMV (halo == -1 marks the mode; columns stay global).
+    if halo <= rows_per:
+        own = np.tile((np.arange(n) % rows_per + halo)[:, None], (1, k))
+        idx_ext = np.where(mask, off + halo, own).astype(np.int32)
         return HaloSystem(
             diag=ell_sorted.diag,
-            idx_ext=ell_sorted.idx,
+            idx_ext=jnp.asarray(idx_ext),
             blocks=ell_sorted.blocks,
-            halo=-1,
+            halo=halo,
             shard_rows=rows_per,
+            send_idx=_empty_tables(num_shards)[0],
+            recv_perm=_empty_tables(num_shards)[1],
         )
-    own = np.tile((np.arange(n) % rows_per + halo)[:, None], (1, k))
-    idx_ext = np.where(mask, off + halo, own).astype(np.int32)
+
+    # ---- sparse remote-column exchange tables ---------------------------
+    shard_of = idx // rows_per
+    my_shard = row // rows_per
+    remote = mask & (shard_of != my_shard)
+    needs = []  # per dst shard: sorted unique global rows it reads remotely
+    for s in range(num_shards):
+        rows_s = slice(s * rows_per, (s + 1) * rows_per)
+        needs.append(np.unique(idx[rows_s][remote[rows_s]]))
+    r_cap = max((len(x) for x in needs), default=0)
+    r_cap = max(1, -(-r_cap // 8) * 8)  # sublane-align
+    per_pair = [
+        [needs[d][(needs[d] // rows_per) == s] for d in range(num_shards)]
+        for s in range(num_shards)
+    ]
+    s_cap = max(
+        max((len(p) for p in row_), default=0) for row_ in per_pair
+    )
+    s_cap = max(1, -(-s_cap // 8) * 8)
+    send = np.zeros((num_shards, num_shards, s_cap), np.int32)
+    recv_perm = np.zeros((num_shards, r_cap), np.int32)
+    for s in range(num_shards):
+        for d in range(num_shards):
+            rows_sd = per_pair[s][d] - s * rows_per  # src-local
+            send[s, d, : len(rows_sd)] = rows_sd
+    for d in range(num_shards):
+        # need-slot -> flat (src, slot) position in the received [nsh*s_cap]
+        pos = {}
+        for s in range(num_shards):
+            for j, g in enumerate(per_pair[s][d]):
+                pos[int(g)] = s * s_cap + j
+        for r_slot, g in enumerate(needs[d]):
+            recv_perm[d, r_slot] = pos[int(g)]
+    # columns: own rows -> [0, rows_per); remote -> rows_per + need slot
+    idx_ext = (idx - base).astype(np.int32)
+    for d in range(num_shards):
+        rows_d = slice(d * rows_per, (d + 1) * rows_per)
+        slot_of = {int(g): rows_per + j for j, g in enumerate(needs[d])}
+        blk_idx = idx[rows_d]
+        blk_rem = remote[rows_d]
+        if blk_rem.any():
+            mapped = np.asarray(
+                [slot_of[int(g)] for g in blk_idx[blk_rem]], np.int32
+            )
+            sub = idx_ext[rows_d]
+            sub[blk_rem] = mapped
+            idx_ext[rows_d] = sub
+    own = np.arange(n)[:, None] % rows_per
+    idx_ext = np.where(mask, idx_ext, own).astype(np.int32)
     return HaloSystem(
         diag=ell_sorted.diag,
         idx_ext=jnp.asarray(idx_ext),
         blocks=ell_sorted.blocks,
-        halo=halo,
+        halo=-1,
         shard_rows=rows_per,
+        send_idx=jnp.asarray(send),
+        recv_perm=jnp.asarray(recv_perm),
     )
 
 
@@ -135,10 +209,18 @@ def halo_pcg_solver(mesh: Mesh, cfg: SchwarzConfig, n: int, halo: int,
     cap0 = cfg.level_offsets(n)[1]
     coffs = [o - cap0 for o in cfg.level_offsets(n)[1:]]  # coarse-vector level bounds
 
-    def local_spmv(diag_l, idxext_l, blocks_l, x_l):
+    def local_spmv(diag_l, idxext_l, blocks_l, send_l, recv_l, x_l):
         if halo < 0:
-            # wide-jump fallback: replicate x (one all-gather over ICI)
-            xext = jax.lax.all_gather(x_l, axis, tiled=True)
+            # sparse remote-column exchange: gather exactly the rows each
+            # peer needs from us, one all_to_all, then arrange into this
+            # shard's need-list order. Comm = O(boundary rows), not O(N).
+            s_cap = send_l.shape[2]
+            xs = jnp.take(x_l, send_l[0].reshape(-1), axis=0)      # [nsh*S,3]
+            received = jax.lax.all_to_all(
+                xs.reshape(nsh, s_cap, 3), axis, split_axis=0, concat_axis=0
+            )                                                      # [nsh,S,3]
+            x_halo = jnp.take(received.reshape(-1, 3), recv_l[0], axis=0)
+            xext = jnp.concatenate([x_l, x_halo], axis=0)
         else:
             fwd = [(s, (s + 1) % nsh) for s in range(nsh)]
             bwd = [(s, (s - 1) % nsh) for s in range(nsh)]
@@ -184,7 +266,7 @@ def halo_pcg_solver(mesh: Mesh, cfg: SchwarzConfig, n: int, halo: int,
         shard_map,
         mesh=mesh,
         in_specs=(
-            (row, row, row),                     # diag, idx_ext, blocks
+            (row, row, row, row, row),           # diag, idx_ext, blocks, send, recv
             (row, row, row, rep, rep),           # gnf, anc1, invf, invc, gnc
             row,                                 # b
         ),
@@ -192,10 +274,10 @@ def halo_pcg_solver(mesh: Mesh, cfg: SchwarzConfig, n: int, halo: int,
         check_vma=False,
     )
     def solve(ell_parts, sap_parts, b_l):
-        diag_l, idxext_l, blocks_l = ell_parts
+        diag_l, idxext_l, blocks_l, send_l, recv_l = ell_parts
         gnf_l, anc1_l, invf_l, invc, gnc = sap_parts
         return pcg(
-            lambda v: local_spmv(diag_l, idxext_l, blocks_l, v),
+            lambda v: local_spmv(diag_l, idxext_l, blocks_l, send_l, recv_l, v),
             lambda r: local_apply(gnf_l, anc1_l, invf_l, invc, gnc, r),
             b_l,
             tol=tol,
@@ -219,7 +301,8 @@ def solve_sorted(mesh: Mesh, cfg: SchwarzConfig, halo_sys: HaloSystem,
                              sap.total_coarse, axis, tol, max_iters)
     with mesh:
         return solver(
-            (halo_sys.diag, halo_sys.idx_ext, halo_sys.blocks),
+            (halo_sys.diag, halo_sys.idx_ext, halo_sys.blocks,
+             halo_sys.send_idx, halo_sys.recv_perm),
             (gnf, sap.anc1, sap.inv_fine, sap.inv_coarse, sap.going_next_coarse),
             b_sorted,
         )

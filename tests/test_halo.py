@@ -95,3 +95,60 @@ def test_halo_solve_thin_halo_mode():
     assert float(res8.rel_residual) <= 1e-4
     scale = np.abs(np.asarray(res1.x)).max()
     np.testing.assert_allclose(np.asarray(x8), np.asarray(res1.x), rtol=5e-3, atol=5e-4 * scale)
+
+
+def test_sparse_halo_comm_volume_and_columns():
+    """Morton ordering on a square grid makes quadrant jumps wider than a
+    shard -> sparse remote-list mode. Comm volume must be O(boundary), not
+    O(N) (VERDICT round-1 item 5), and the exchange tables must reproduce
+    every global column exactly."""
+    mesh_c = cloth.make_grid(128, 128, z_wave=0.02)
+    n = mesh_c.num_verts
+    ell = cloth.assemble_system(mesh_c)
+    maps = compute_sort_maps(jnp.asarray(mesh_c.positions))
+    ell_sorted = blockcsr.permute(ell, maps.sorted_to_orig, maps.orig_to_sorted)
+    nsh = 8
+    hsys = halo.build_halo_system(ell_sorted, nsh)
+    assert hsys.halo == -1, "square Morton ordering should need sparse mode"
+    rows_per = hsys.shard_rows
+    s_cap = hsys.send_idx.shape[2]
+    # true boundary: unique remote rows each shard reads; must be far below N
+    idx_np = np.asarray(ell_sorted.idx)
+    mask_np = np.asarray(ell_sorted.mask)
+    remote = mask_np & (idx_np // rows_per != np.arange(n)[:, None] // rows_per)
+    true_remote = sum(
+        np.unique(idx_np[d * rows_per:(d + 1) * rows_per]
+                  [remote[d * rows_per:(d + 1) * rows_per]]).size
+        for d in range(nsh)
+    )
+    # O(boundary) not O(N): ~23% at this size, shrinking as 1/sqrt(N/nsh)
+    # (boundary ring of a sqrt(N/nsh)-wide Morton patch).
+    assert true_remote < n // 4, (true_remote, n)
+    # per-shard received volume (incl. all_to_all padding) must beat the
+    # all-gather fallback it replaces (which moved n - rows_per rows)
+    assert nsh * s_cap < (n - rows_per) // 4, (s_cap, n)
+
+    # reconstruct global columns from idx_ext + tables
+    idx_ext = np.asarray(hsys.idx_ext)
+    send = np.asarray(hsys.send_idx)
+    recv = np.asarray(hsys.recv_perm)
+    mask = np.asarray(ell_sorted.mask)
+    idx_ref = np.asarray(ell_sorted.idx)
+    for d in range(nsh):
+        # need list of shard d in receive order
+        flat_global = np.concatenate(
+            [send[s, d] + s * rows_per for s in range(nsh)]
+        )  # [nsh*s_cap] in flat (src, slot) order
+        need_global = flat_global[recv[d]]
+        rows_d = slice(d * rows_per, (d + 1) * rows_per)
+        sub_ext = idx_ext[rows_d]
+        sub_ref = idx_ref[rows_d]
+        sub_mask = mask[rows_d]
+        local = sub_ext < rows_per
+        np.testing.assert_array_equal(
+            (sub_ext + d * rows_per)[sub_mask & local], sub_ref[sub_mask & local]
+        )
+        rem = sub_mask & ~local
+        np.testing.assert_array_equal(
+            need_global[sub_ext[rem] - rows_per], sub_ref[rem]
+        )
