@@ -37,6 +37,7 @@ def main():
     from precond_tpu.parallel.pcg import jacobi_preconditioner, pcg
     from precond_tpu.solver import compute_sort_maps, prepare_with_system
 
+    config = os.environ.get("BENCH_CONFIG", "cloth")  # cloth | tet | collide
     grid = int(os.environ.get("BENCH_GRID", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "50"))
     cfg = SchwarzConfig()
@@ -46,10 +47,48 @@ def main():
     # multilevel preconditioner earns its keep). mass is per-vertex (a
     # ~0.1kg sheet at this resolution), overridable via BENCH_MASS.
     mass = float(os.environ.get("BENCH_MASS", "0.001"))
-    mesh = cloth.make_grid(grid, grid, z_wave=0.02, mass=mass, dt=1.0 / 60.0)
-    n = mesh.num_verts
-    ell = cloth.assemble_system(mesh)
-    maps = compute_sort_maps(jnp.asarray(mesh.positions))
+    stencils = None
+    if config == "tet":
+        # deformable tet body (BASELINE.json generality config)
+        from precond_tpu.models import tetmesh
+
+        side = int(os.environ.get("BENCH_TET", "26"))
+        tmesh = tetmesh.make_box(side, side, side, mass=mass * 50, youngs=5e4)
+        n = tmesh.num_verts
+        ell = tetmesh.assemble_system(tmesh)
+        positions = tmesh.positions
+    elif config == "collide":
+        # two stacked sheets with active VF/EE/EF stencils in prepare
+        from precond_tpu.models import collision as coll
+        from precond_tpu.ops.stencils import build_stencils
+
+        m1 = cloth.make_grid(grid, grid, z_wave=0.0, mass=mass, dt=1.0 / 60.0)
+        n1 = m1.num_verts
+        pos = np.concatenate([m1.positions, m1.positions + [0, 0, 0.01]]).astype(np.float32)
+        faces = np.concatenate([m1.faces, m1.faces + n1]).astype(np.int32)
+        edges = np.concatenate(
+            [m1.edges, np.where(m1.edges >= 0, m1.edges + n1, -1)]
+        ).astype(np.int32)
+        springs = np.concatenate([m1.springs, m1.springs + n1])
+        stiffness = np.concatenate([m1.stiffness, m1.stiffness])
+        mesh = cloth.ClothMesh(pos, edges, faces, springs, stiffness, m1.mass, m1.dt)
+        n = mesh.num_verts
+        ell = cloth.assemble_system(mesh)
+        positions = pos
+        budget = int(os.environ.get("BENCH_COLLISION_BUDGET", str(8 * n1)))
+        thresh, stiff = 0.012, 1e3
+        pj = jnp.asarray(pos)
+        fj, ej = jnp.asarray(faces), jnp.asarray(edges)
+        vf, _ = coll.detect_vf_grid(pj, fj, thresh, stiff, budget)
+        ee, _ = coll.detect_ee_grid(pj, ej, thresh, stiff, budget)
+        ef, _ = coll.detect_ef_grid(pj, ej, fj, thresh, stiff, budget)
+        stencils = build_stencils(ej, fj, ef=ef, ee=ee, vf=vf)
+    else:
+        mesh = cloth.make_grid(grid, grid, z_wave=0.02, mass=mass, dt=1.0 / 60.0)
+        n = mesh.num_verts
+        ell = cloth.assemble_system(mesh)
+        positions = mesh.positions
+    maps = compute_sort_maps(jnp.asarray(positions))
     rng = np.random.default_rng(0)
     b = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
 
@@ -63,13 +102,13 @@ def main():
     # orders of magnitude (docs/DESIGN.md §3); min damps that noise. The
     # sync is a SCALAR fetch — fetching a whole array would drag ~100MB
     # through the tunnel and pollute the timing by seconds.
-    prep = jax.jit(lambda e, m: prepare_with_system(e, m, cfg))
-    state, ells = prep(ell, maps)
+    prep = jax.jit(lambda e, m, s: prepare_with_system(e, m, cfg, s))
+    state, ells = prep(ell, maps, stencils)
     sync(state.inv96[0, 0, :1])
     prepare_s = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        state, ells = prep(ell, maps)
+        state, ells = prep(ell, maps, stencils)
         sync(state.inv96[0, 0, :1])
         prepare_s = min(prepare_s, time.perf_counter() - t0)
     b_sorted = jnp.take(b, state.sorted_to_orig, axis=0)
@@ -145,6 +184,7 @@ def main():
                 "unit": "Gnnz/s",
                 "vs_baseline": round(t_jacobi / t_schwarz, 3),
                 "vs_baseline_excl_prepare": round(t_jacobi / t_schwarz_iter, 3),
+                "config": config,
                 "grid": grid,
                 "num_verts": n,
                 "iter_ms": round(iter_s * 1e3, 4),
