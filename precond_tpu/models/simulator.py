@@ -193,10 +193,10 @@ class ClothSim:
                     dropped=i1.dropped + i2.dropped + i3.dropped,
                 )
 
-            from ..solver import prepare_preconditioner
-            from ..ops.apply import precondition
+            from ..solver import prepare_with_system
+            from ..ops.apply import precondition_sorted
 
-            state = prepare_preconditioner(ell, maps, cfg, stencils)
+            state, ells = prepare_with_system(ell, maps, cfg, stencils)
 
             # Gauss-Newton rhs around current x with inertia target
             rest = jnp.linalg.norm(
@@ -212,12 +212,16 @@ class ClothSim:
             rhs = m_dt2 * (y - x) + f_int
             rhs = jnp.where(pinned[:, None], 0.0, rhs)
 
+            # Solve in Morton-sorted space: permute rhs once, x back once
+            # (drops two N-row gathers per PCG iteration).
+            rhs_sorted = jnp.take(rhs, maps.sorted_to_orig, axis=0)
             res = pcg(
-                lambda p_: blockcsr.spmv(ell, p_),
-                lambda r_: precondition(state, r_, cfg),
-                rhs, tol=tol, max_iters=max_iters,
+                lambda p_: blockcsr.spmv(ells, p_),
+                lambda r_: precondition_sorted(state, r_, cfg),
+                rhs_sorted, tol=tol, max_iters=max_iters,
             )
-            dx = jnp.where(pinned[:, None], 0.0, res.x)
+            x_unsorted = jnp.take(res.x, maps.orig_to_sorted, axis=0)
+            dx = jnp.where(pinned[:, None], 0.0, x_unsorted)
             x_new = x + dx
             return x_new, (x_new - x) / dt, res, detect_info
 
