@@ -15,6 +15,11 @@ import numpy as np
 
 
 def main():
+    import jax
+
+    # honor JAX_PLATFORMS even when a platform plugin (axon) outranks it
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from precond_tpu.config import SchwarzConfig
