@@ -33,21 +33,28 @@ class ApplyState(NamedTuple):
     ancestors: jnp.ndarray       # i32[N, L-1] node ids of each vertex's ancestors
     inv96: jnp.ndarray           # f32[B,96,96]
     overflow: jnp.ndarray        # bool[]
+    # Matmul-form restriction operators (see restrict_residual):
+    # onehot[b, lc, i] = 1 iff in-bank node i of bank b belongs to the
+    # bank's lc-th cluster; zero rows for the top level.
+    restrict_onehot: jnp.ndarray  # f32[total//32, 32, 32]
+    # For each coarse node p (offset by cap0): flat index offs[l] + b*32+lc
+    # of its slot in the child level's per-bank cluster-sum layout; -1 for
+    # padded/inactive nodes.
+    restrict_pos: jnp.ndarray     # i32[total - cap0]
 
 
-def restrict_residual(
+def restrict_residual_scatter(
     r_sorted: jnp.ndarray,
     going_next: jnp.ndarray,
     cfg: SchwarzConfig,
     n: int,
 ) -> jnp.ndarray:
-    """Build the residual hierarchy: f32[N,3] (sorted order) -> f32[total,3].
+    """Scatter-form residual restriction (oracle / halo-path form).
 
-    Level-by-level child->parent scatter-add accumulation (a true
-    many-to-one reduction, the one place a scatter is the right primitive);
-    inactive/padded/top nodes have going_next == total (sentinel) so their
-    adds fall in a dump slot. Replaces the reference's serial levels>=2
-    loop (cpp:1577-1591) with L-1 parallel sweeps.
+    Level-by-level child->parent scatter-add accumulation; inactive/padded/
+    top nodes have going_next == total (sentinel) so their adds fall in a
+    dump slot. Replaces the reference's serial levels>=2 loop
+    (cpp:1577-1591) with L-1 parallel sweeps.
     """
     levels = cfg.num_levels(n)
     offs = cfg.level_offsets(n)
@@ -58,6 +65,40 @@ def restrict_residual(
         parents, vals = jax.lax.optimization_barrier((going_next[seg], mr[seg]))
         mr = mr.at[parents].add(vals, mode="drop")
     return mr[:total]
+
+
+def restrict_residual(
+    r_sorted: jnp.ndarray,
+    state: "ApplyState",
+    cfg: SchwarzConfig,
+    n: int,
+) -> jnp.ndarray:
+    """Build the residual hierarchy: f32[N,3] (sorted order) -> f32[total,3].
+
+    Matmul form: clusters never span a 32-node bank and a bank's cluster
+    ids are consecutive (ops/hierarchy.py _cluster_banks), so each level's
+    child->parent reduction is a batched one-hot [32,32] matmul over banks
+    (MXU) followed by one small gather that compacts per-bank cluster sums
+    into the next level's node numbering. Scatter-free: measured ~10x less
+    time than the scatter sweeps on v5e (TPU scatters cost ~16 ns/row).
+    """
+    levels = cfg.num_levels(n)
+    offs = cfg.level_offsets(n)
+    total = offs[-1]
+    cap0 = offs[1]
+    mr = jnp.zeros((total, 3), r_sorted.dtype).at[:n].set(r_sorted)
+    for l in range(levels - 1):
+        rb = mr[offs[l] : offs[l + 1]].reshape(-1, BANK, 3)
+        oh = state.restrict_onehot[offs[l] // BANK : offs[l + 1] // BANK]
+        part = jnp.einsum(
+            "bli,bic->blc", oh, rb, preferred_element_type=jnp.float32
+        ).reshape(-1, 3)                                   # [cap_l, 3]
+        pos = state.restrict_pos[offs[l + 1] - cap0 : offs[l + 2] - cap0]
+        vals = jnp.take(
+            part, pos - offs[l], axis=0, mode="fill", fill_value=0.0
+        )                                                  # [cap_{l+1}, 3]
+        mr = jax.lax.dynamic_update_slice(mr, vals, (offs[l + 1], 0))
+    return mr
 
 
 def prolong_and_collect(
@@ -102,7 +143,7 @@ def precondition_sorted(
     before and x once after the loop) avoids them — use this entry point.
     """
     n = r_sorted.shape[0]
-    mr = restrict_residual(r_sorted, state.going_next, cfg, n)
+    mr = restrict_residual(r_sorted, state, cfg, n)
     rhs = mr.reshape(-1, 3 * BANK)                       # [B,96]
     if cfg.use_pallas_symv:
         from .pallas.symv import batched_symv

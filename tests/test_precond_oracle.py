@@ -134,3 +134,24 @@ def test_pcg_iterations_stable_across_sizes():
         assert float(res.rel_residual) <= 1e-4
         iters.append(int(res.iterations))
     assert iters[1] <= 3 * iters[0] + 10, iters
+
+
+def test_matmul_restriction_equals_scatter():
+    """The batched one-hot matmul restriction must reproduce the scatter
+    form bit-for-bit in structure (same sums, FP-tolerance)."""
+    import jax.numpy as jnp
+    from precond_tpu.models import cloth
+    from precond_tpu.ops.apply import restrict_residual, restrict_residual_scatter
+    from precond_tpu.solver import compute_sort_maps, prepare_with_system
+
+    cfg = SchwarzConfig()
+    mesh = cloth.make_grid(40, 40, z_wave=0.02)
+    n = mesh.num_verts
+    ell = cloth.assemble_system(mesh)
+    maps = compute_sort_maps(jnp.asarray(mesh.positions))
+    state, _ = prepare_with_system(ell, maps, cfg)
+    rng = np.random.default_rng(3)
+    r = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    a = np.asarray(restrict_residual(r, state, cfg, n))
+    b = np.asarray(restrict_residual_scatter(r, state.going_next, cfg, n))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)  # FP sum order
