@@ -41,6 +41,9 @@ class ApplyState(NamedTuple):
     # of its slot in the child level's per-bank cluster-sum layout; -1 for
     # padded/inactive nodes.
     restrict_pos: jnp.ndarray     # i32[total - cap0]
+    # Per-bank smallest parent node id (anchor of the bank's consecutive
+    # cluster-id range); `total` for fully inactive banks.
+    restrict_pb: jnp.ndarray      # i32[total//32]
 
 
 def restrict_residual_scatter(
@@ -91,7 +94,11 @@ def restrict_residual(
         rb = mr[offs[l] : offs[l + 1]].reshape(-1, BANK, 3)
         oh = state.restrict_onehot[offs[l] // BANK : offs[l + 1] // BANK]
         part = jnp.einsum(
-            "bli,bic->blc", oh, rb, preferred_element_type=jnp.float32
+            "bli,bic->blc",
+            oh,
+            rb,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
         ).reshape(-1, 3)                                   # [cap_l, 3]
         pos = state.restrict_pos[offs[l + 1] - cap0 : offs[l + 2] - cap0]
         vals = jnp.take(
@@ -101,22 +108,20 @@ def restrict_residual(
     return mr
 
 
-def prolong_and_collect(
+def prolong_and_collect_gather(
     mz: jnp.ndarray,
     ancestors: jnp.ndarray,
-    sorted_to_orig: jnp.ndarray,
     going_next: jnp.ndarray,
     cfg: SchwarzConfig,
     n: int,
 ) -> jnp.ndarray:
-    """Additive multi-level sum + permute back (CollectFinalZ, cpp:1698-1719).
+    """Gather-form additive prolongation (oracle / halo-path form).
 
     Top-down pre-sum: starting at the highest *applied* level (the reference
     caps application at 4 levels — Int4 table, h:96 — the cap is a config
     here), each node accumulates its parent's z, so the fine sum needs only
-    ONE gather from the level-1 region instead of one per level. The final
-    permutation back to original order is a scatter (unique targets), not a
-    gather — gathers are the expensive primitive on TPU.
+    ONE gather from the level-1 region instead of one per level
+    (CollectFinalZ, cpp:1698-1719).
     """
     levels = cfg.num_levels(n)
     offs = cfg.level_offsets(n)
@@ -129,7 +134,52 @@ def prolong_and_collect(
     z = mz[:n]
     if top > 1:
         z = z + jnp.take(pz, ancestors[:, 0], axis=0)
-    del sorted_to_orig  # caller permutes back with a gather
+    return z
+
+
+def prolong_and_collect(
+    mz: jnp.ndarray,
+    state: "ApplyState",
+    cfg: SchwarzConfig,
+    n: int,
+) -> jnp.ndarray:
+    """Additive multi-level sum (CollectFinalZ, cpp:1698-1719), matmul form.
+
+    Coarse levels accumulate top-down with small gathers (≤ cap1 rows);
+    the fine level — the only N-row gather — is replaced by one batched
+    (BANK,3) dynamic-slice gather at each bank's cluster anchor plus the
+    transposed restriction one-hot matmul: contrib[b,i] = Σ_l oh[b,l,i] ·
+    pz[pb[b]+l], which equals pz[parent(i)] because per-bank cluster ids
+    are consecutive from pb[b]. Per-offset (not per-row) gather pricing on
+    TPU makes this ~30x cheaper than the N-row ancestor gather.
+    """
+    levels = cfg.num_levels(n)
+    offs = cfg.level_offsets(n)
+    top = min(levels, cfg.max_applied_levels)  # apply levels 0..top-1
+    pz = mz
+    for l in range(top - 2, 0, -1):
+        seg = slice(offs[l], offs[l + 1])
+        parents = state.going_next[seg]
+        pz = pz.at[seg].add(jnp.take(pz, parents, axis=0, mode="fill", fill_value=0))
+    z = mz[:n]
+    if top > 1:
+        b0 = offs[1] // BANK
+        pb0 = state.restrict_pb[:b0]  # <= total by construction
+        # Pad so a slice anchored at the last node (or the `total` sentinel
+        # of an inactive bank) stays in range WITHOUT shifting the anchor —
+        # dynamic_slice's internal clamp would misalign the one-hot.
+        pz_pad = jnp.concatenate([pz, jnp.zeros((BANK, 3), pz.dtype)])
+        vals = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(pz_pad, (s, 0), (BANK, 3))
+        )(pb0)                                             # [B0, 32, 3]
+        contrib = jnp.einsum(
+            "bli,blc->bic",
+            state.restrict_onehot[:b0],
+            vals,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        z = z + contrib.reshape(-1, 3)[:n]
     return z
 
 
@@ -152,9 +202,7 @@ def precondition_sorted(
     else:
         z96 = apply_block_inverse(state.inv96, rhs)
     mz = z96.reshape(-1, 3)                              # [total,3]
-    return prolong_and_collect(
-        mz, state.ancestors, state.sorted_to_orig, state.going_next, cfg, n
-    )
+    return prolong_and_collect(mz, state, cfg, n)
 
 
 def precondition(state: ApplyState, r: jnp.ndarray, cfg: SchwarzConfig) -> jnp.ndarray:

@@ -81,7 +81,7 @@ def prepare_with_system(
     else:
         inv96 = invert_spd_blocks(h96)
     inv96 = inv96.astype(jnp.dtype(cfg.inverse_dtype))
-    onehot, pos = _restriction_operators(hier.going_next, cfg, n)
+    onehot, pos, pbs = _restriction_operators(hier.going_next, cfg, n)
     state = ApplyState(
         sorted_to_orig=maps.sorted_to_orig,
         orig_to_sorted=maps.orig_to_sorted,
@@ -91,6 +91,7 @@ def prepare_with_system(
         overflow=hier.overflow,
         restrict_onehot=onehot,
         restrict_pos=pos,
+        restrict_pb=pbs,
     )
     return state, ell_sorted
 
@@ -110,6 +111,7 @@ def _restriction_operators(going_next: jnp.ndarray, cfg: SchwarzConfig, n: int):
     bank = hi.BANK
     onehot = jnp.zeros((total // bank, bank, bank), jnp.float32)
     pos = jnp.full((total - offs[1],), -1, jnp.int32)
+    pbs = jnp.full((total // bank,), total, jnp.int32)
     lc_iota = jnp.arange(bank, dtype=jnp.int32)
     for l in range(levels - 1):
         g2 = going_next[offs[l] : offs[l + 1]].reshape(-1, bank)   # [Bl,32]
@@ -120,6 +122,7 @@ def _restriction_operators(going_next: jnp.ndarray, cfg: SchwarzConfig, n: int):
         onehot = jax.lax.dynamic_update_slice(
             onehot, oh, (offs[l] // bank, 0, 0)
         )
+        pbs = jax.lax.dynamic_update_slice(pbs, pb, (offs[l] // bank,))
         c_node = jnp.arange(offs[l + 1], offs[l + 2], dtype=jnp.int32)
         b_of = jnp.clip(
             jnp.searchsorted(pb, c_node, side="right").astype(jnp.int32) - 1,
@@ -129,7 +132,7 @@ def _restriction_operators(going_next: jnp.ndarray, cfg: SchwarzConfig, n: int):
         ok = (local_of >= 0) & (local_of < bank)
         p_slot = jnp.where(ok, offs[l] + b_of * bank + local_of, -1)
         pos = jax.lax.dynamic_update_slice(pos, p_slot, (offs[l + 1] - offs[1],))
-    return onehot, pos
+    return onehot, pos, pbs
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -155,3 +155,34 @@ def test_matmul_restriction_equals_scatter():
     a = np.asarray(restrict_residual(r, state, cfg, n))
     b = np.asarray(restrict_residual_scatter(r, state.going_next, cfg, n))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)  # FP sum order
+
+
+def test_matmul_prolong_equals_gather():
+    """The slice-gather + transposed one-hot prolongation must reproduce
+    the ancestor-gather form (incl. banks whose cluster range ends at the
+    level boundary — the anchor must not be clamp-shifted)."""
+    import jax.numpy as jnp
+    from precond_tpu.models import cloth
+    from precond_tpu.ops.apply import (
+        prolong_and_collect,
+        prolong_and_collect_gather,
+    )
+    from precond_tpu.solver import compute_sort_maps, prepare_with_system
+
+    cfg = SchwarzConfig()
+    for g in (12, 40):  # 12x12 hits the end-of-level anchor case
+        mesh = cloth.make_grid(g, g, z_wave=0.02)
+        n = mesh.num_verts
+        ell = cloth.assemble_system(mesh)
+        maps = compute_sort_maps(jnp.asarray(mesh.positions))
+        state, _ = prepare_with_system(ell, maps, cfg)
+        total = cfg.level_offsets(n)[-1]
+        rng = np.random.default_rng(7)
+        mz = jnp.asarray(rng.standard_normal((total, 3)).astype(np.float32))
+        a = np.asarray(prolong_and_collect(mz, state, cfg, n))
+        b = np.asarray(
+            prolong_and_collect_gather(
+                mz, state.ancestors, state.going_next, cfg, n
+            )
+        )
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
