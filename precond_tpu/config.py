@@ -70,6 +70,14 @@ class SchwarzConfig:
     # streams inv96 at memory speed; kept as an A/B hook).
     use_pallas_symv: bool = False
 
+    # Matmul (one-hot) forms of the restriction/prolongation transfer ops
+    # instead of the scatter/gather forms. Measured LOSS on v5e at 65k
+    # verts (restrict 47 ms vs 1.5 ms, prolong 9.3 ms vs 0.78 ms): the
+    # [32,32]x[32,3] batched matmuls are MXU-padding-dominated and
+    # vmapped dynamic_slice is priced per output row. Kept as an A/B hook
+    # for future hardware; equivalence is tested either way.
+    use_matmul_transfer: bool = False
+
     # Storage dtype of the factorized domain inverses. "bfloat16" halves
     # the apply-phase HBM traffic (the [B,96,96] read dominates each PCG
     # iteration); rounding a symmetric matrix entrywise keeps it exactly

@@ -70,7 +70,7 @@ def restrict_residual_scatter(
     return mr[:total]
 
 
-def restrict_residual(
+def restrict_residual_matmul(
     r_sorted: jnp.ndarray,
     state: "ApplyState",
     cfg: SchwarzConfig,
@@ -82,8 +82,10 @@ def restrict_residual(
     ids are consecutive (ops/hierarchy.py _cluster_banks), so each level's
     child->parent reduction is a batched one-hot [32,32] matmul over banks
     (MXU) followed by one small gather that compacts per-bank cluster sums
-    into the next level's node numbering. Scatter-free: measured ~10x less
-    time than the scatter sweeps on v5e (TPU scatters cost ~16 ns/row).
+    into the next level's node numbering. Scatter-free, but the tiny
+    [32,32]x[32,3] batched matmuls are MXU-padding-dominated: measured
+    47 ms vs the scatter form's 1.5 ms at 65k verts on v5e — kept as a
+    config-gated alternate (cfg.use_matmul_transfer), NOT the default.
     """
     levels = cfg.num_levels(n)
     offs = cfg.level_offsets(n)
@@ -137,7 +139,7 @@ def prolong_and_collect_gather(
     return z
 
 
-def prolong_and_collect(
+def prolong_and_collect_matmul(
     mz: jnp.ndarray,
     state: "ApplyState",
     cfg: SchwarzConfig,
@@ -150,8 +152,10 @@ def prolong_and_collect(
     (BANK,3) dynamic-slice gather at each bank's cluster anchor plus the
     transposed restriction one-hot matmul: contrib[b,i] = Σ_l oh[b,l,i] ·
     pz[pb[b]+l], which equals pz[parent(i)] because per-bank cluster ids
-    are consecutive from pb[b]. Per-offset (not per-row) gather pricing on
-    TPU makes this ~30x cheaper than the N-row ancestor gather.
+    are consecutive from pb[b]. Measured 9.3 ms vs the ancestor-gather
+    form's 0.78 ms at 65k verts on v5e (vmapped dynamic_slice is priced
+    per output row, and the tiny matmuls pad badly) — kept as a
+    config-gated alternate (cfg.use_matmul_transfer), NOT the default.
     """
     levels = cfg.num_levels(n)
     offs = cfg.level_offsets(n)
@@ -181,6 +185,30 @@ def prolong_and_collect(
         )
         z = z + contrib.reshape(-1, 3)[:n]
     return z
+
+
+def restrict_residual(
+    r_sorted: jnp.ndarray,
+    state: "ApplyState",
+    cfg: SchwarzConfig,
+    n: int,
+) -> jnp.ndarray:
+    """Residual restriction, dispatching on cfg.use_matmul_transfer."""
+    if cfg.use_matmul_transfer:
+        return restrict_residual_matmul(r_sorted, state, cfg, n)
+    return restrict_residual_scatter(r_sorted, state.going_next, cfg, n)
+
+
+def prolong_and_collect(
+    mz: jnp.ndarray,
+    state: "ApplyState",
+    cfg: SchwarzConfig,
+    n: int,
+) -> jnp.ndarray:
+    """Additive prolongation, dispatching on cfg.use_matmul_transfer."""
+    if cfg.use_matmul_transfer:
+        return prolong_and_collect_matmul(mz, state, cfg, n)
+    return prolong_and_collect_gather(mz, state.ancestors, state.going_next, cfg, n)
 
 
 def precondition_sorted(

@@ -141,7 +141,7 @@ def test_matmul_restriction_equals_scatter():
     form bit-for-bit in structure (same sums, FP-tolerance)."""
     import jax.numpy as jnp
     from precond_tpu.models import cloth
-    from precond_tpu.ops.apply import restrict_residual, restrict_residual_scatter
+    from precond_tpu.ops.apply import restrict_residual_matmul, restrict_residual_scatter
     from precond_tpu.solver import compute_sort_maps, prepare_with_system
 
     cfg = SchwarzConfig()
@@ -152,7 +152,7 @@ def test_matmul_restriction_equals_scatter():
     state, _ = prepare_with_system(ell, maps, cfg)
     rng = np.random.default_rng(3)
     r = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
-    a = np.asarray(restrict_residual(r, state, cfg, n))
+    a = np.asarray(restrict_residual_matmul(r, state, cfg, n))
     b = np.asarray(restrict_residual_scatter(r, state.going_next, cfg, n))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)  # FP sum order
 
@@ -164,8 +164,8 @@ def test_matmul_prolong_equals_gather():
     import jax.numpy as jnp
     from precond_tpu.models import cloth
     from precond_tpu.ops.apply import (
-        prolong_and_collect,
         prolong_and_collect_gather,
+        prolong_and_collect_matmul,
     )
     from precond_tpu.solver import compute_sort_maps, prepare_with_system
 
@@ -179,7 +179,7 @@ def test_matmul_prolong_equals_gather():
         total = cfg.level_offsets(n)[-1]
         rng = np.random.default_rng(7)
         mz = jnp.asarray(rng.standard_normal((total, 3)).astype(np.float32))
-        a = np.asarray(prolong_and_collect(mz, state, cfg, n))
+        a = np.asarray(prolong_and_collect_matmul(mz, state, cfg, n))
         b = np.asarray(
             prolong_and_collect_gather(
                 mz, state.ancestors, state.going_next, cfg, n
