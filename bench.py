@@ -32,8 +32,8 @@ def main():
 
     from precond_tpu.config import SchwarzConfig
     from precond_tpu.models import cloth
-    from precond_tpu.ops import blockcsr
-    from precond_tpu.ops.apply import precondition_sorted
+    from precond_tpu.ops import blockcsr, gridstencil
+    from precond_tpu.ops.apply import precondition, precondition_sorted
     from precond_tpu.parallel.pcg import jacobi_preconditioner, pcg
     from precond_tpu.solver import compute_sort_maps, prepare_with_system
 
@@ -88,6 +88,12 @@ def main():
         n = mesh.num_verts
         ell = cloth.assemble_system(mesh)
         positions = mesh.positions
+    # Structured-grid stencil SpMV fast path (zero gathers; ~5x the gather
+    # ELL on v5e). The Schwarz solve then runs in ORIGINAL (grid) order and
+    # pays precondition()'s two permute gathers instead — a large net win.
+    ssys = None
+    if config == "cloth" and os.environ.get("BENCH_STENCIL", "1") != "0":
+        ssys = cloth.assemble_system_stencil(mesh)
     maps = compute_sort_maps(jnp.asarray(positions))
     rng = np.random.default_rng(0)
     b = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
@@ -120,26 +126,33 @@ def main():
     # Whole solve lives in Morton-sorted space (b permuted once above):
     # drops the two N-row permute gathers per iteration that the
     # original-order precondition() pays, and makes SpMV gathers local.
-    def k_iterations(ells, state, b):
+    if ssys is not None:
+        # grid-order solve: stencil SpMV + orig-order precondition
+        spmv_op, pre_op, b_iter = ssys, lambda st, r: precondition(st, r, cfg), b
+    else:
+        spmv_op, pre_op, b_iter = ells, lambda st, r: precondition_sorted(st, r, cfg), b_sorted
+    spmv_fn = gridstencil.spmv if ssys is not None else blockcsr.spmv
+
+    def k_iterations(op, state, b):
         def body(_, carry):
             x, r, p, z, rz = carry
-            q = blockcsr.spmv(ells, p)
+            q = spmv_fn(op, p)
             alpha = rz / jnp.sum(p * q)
             x = x + alpha * p
             r = r - alpha * q
-            z = precondition_sorted(state, r, cfg)
+            z = pre_op(state, r)
             rz_new = jnp.sum(r * z)
             p = z + (rz_new / rz) * p
             return (x, r, p, z, rz_new)
 
-        z0 = precondition_sorted(state, b, cfg)
+        z0 = pre_op(state, b)
         init = (jnp.zeros_like(b), b, z0, z0, jnp.sum(b * z0))
         return jax.lax.fori_loop(0, iters, body, init)[0][0, :1]
 
     kit = jax.jit(k_iterations)
-    sync(kit(ells, state, b_sorted))  # compile + warm
+    sync(kit(spmv_op, state, b_iter))  # compile + warm
     t0 = time.perf_counter()
-    sync(kit(ells, state, b_sorted))
+    sync(kit(spmv_op, state, b_iter))
     iter_s = (time.perf_counter() - t0) / iters
 
     nnz_spmv = int(9 * (n + int(np.asarray(ell.mask).sum())))
@@ -150,29 +163,32 @@ def main():
 
     # ---- solve-time speedup vs block-Jacobi ------------------------------
     solve_schwarz = jax.jit(
-        lambda e, st, b: pcg(lambda v: blockcsr.spmv(e, v),
-                             lambda r: precondition_sorted(st, r, cfg), b,
+        lambda e, st, b: pcg(lambda v: spmv_fn(e, v),
+                             lambda r: pre_op(st, r), b,
                              tol=1e-4, max_iters=2000)
     )
+    # Jacobi gets the SAME (fastest available) SpMV — it benchmarks the
+    # preconditioner, not the matrix representation.
+    jac_op = ssys if ssys is not None else ell
     solve_jacobi = jax.jit(
-        lambda e, dinv, b: pcg(lambda v: blockcsr.spmv(e, v),
+        lambda e, dinv, b: pcg(lambda v: spmv_fn(e, v),
                                lambda r: jnp.einsum("nij,nj->ni", dinv, r), b,
                                tol=1e-4, max_iters=20000)
     )
     dinv = jnp.linalg.inv(ell.diag)
 
-    rs = solve_schwarz(ells, state, b_sorted)
+    rs = solve_schwarz(spmv_op, state, b_iter)
     sync(rs.x[0, :1])
     t0 = time.perf_counter()
-    rs = solve_schwarz(ells, state, b_sorted)
+    rs = solve_schwarz(spmv_op, state, b_iter)
     sync(rs.x[0, :1])
     t_schwarz_iter = time.perf_counter() - t0
     t_schwarz = t_schwarz_iter + prepare_s
 
-    rj = solve_jacobi(ell, dinv, b)
+    rj = solve_jacobi(jac_op, dinv, b)
     sync(rj.x[0, :1])
     t0 = time.perf_counter()
-    rj = solve_jacobi(ell, dinv, b)
+    rj = solve_jacobi(jac_op, dinv, b)
     sync(rj.x[0, :1])
     t_jacobi = time.perf_counter() - t0
 

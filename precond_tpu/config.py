@@ -70,13 +70,17 @@ class SchwarzConfig:
     # streams inv96 at memory speed; kept as an A/B hook).
     use_pallas_symv: bool = False
 
-    # Matmul (one-hot) forms of the restriction/prolongation transfer ops
-    # instead of the scatter/gather forms. Measured LOSS on v5e at 65k
-    # verts (restrict 47 ms vs 1.5 ms, prolong 9.3 ms vs 0.78 ms): the
-    # [32,32]x[32,3] batched matmuls are MXU-padding-dominated and
-    # vmapped dynamic_slice is priced per output row. Kept as an A/B hook
-    # for future hardware; equivalence is tested either way.
-    use_matmul_transfer: bool = False
+    # One-hot (broadcast-multiply-reduce) forms of the restriction and
+    # prolongation transfer ops instead of the scatter/gather forms. The
+    # scatter/gather forms are priced per ROW on TPU (~40/4.2 ns) and so
+    # scale at issue rate, not bandwidth (1.5 ms at 65k, 11 ms at 262k for
+    # the L0 restriction scatter on v5e); the one-hot pair is pure VPU
+    # streaming and fuses into ~0.53 ms at 65k. Alternates kept for the
+    # halo path and as oracles. (A batched-MXU matmul variant and a
+    # vmapped-dynamic-slice prolong were measured and rejected: tiny
+    # [32,32]x[32,3] matmuls pad catastrophically, slice-gathers price
+    # per output row.)
+    use_onehot_transfer: bool = True
 
     # Storage dtype of the factorized domain inverses. "bfloat16" halves
     # the apply-phase HBM traffic (the [B,96,96] read dominates each PCG

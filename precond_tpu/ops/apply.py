@@ -70,7 +70,7 @@ def restrict_residual_scatter(
     return mr[:total]
 
 
-def restrict_residual_matmul(
+def restrict_residual_onehot(
     r_sorted: jnp.ndarray,
     state: "ApplyState",
     cfg: SchwarzConfig,
@@ -78,36 +78,29 @@ def restrict_residual_matmul(
 ) -> jnp.ndarray:
     """Build the residual hierarchy: f32[N,3] (sorted order) -> f32[total,3].
 
-    Matmul form: clusters never span a 32-node bank and a bank's cluster
-    ids are consecutive (ops/hierarchy.py _cluster_banks), so each level's
-    child->parent reduction is a batched one-hot [32,32] matmul over banks
-    (MXU) followed by one small gather that compacts per-bank cluster sums
-    into the next level's node numbering. Scatter-free, but the tiny
-    [32,32]x[32,3] batched matmuls are MXU-padding-dominated: measured
-    47 ms vs the scatter form's 1.5 ms at 65k verts on v5e — kept as a
-    config-gated alternate (cfg.use_matmul_transfer), NOT the default.
+    One-hot operator form: clusters never span a 32-node bank and a bank's
+    cluster ids are consecutive (ops/hierarchy.py _cluster_banks), so each
+    level's child->parent reduction is a per-bank broadcast-multiply-reduce
+    against the [32,32] membership one-hot (pure VPU streaming, no scatter)
+    followed by one small gather (cap_{l+1} rows) that compacts per-bank
+    cluster sums into the next level's node numbering. Replaces the
+    issue-rate-bound N-row scatter (40 ns/row: 1.5 ms at 65k, 11 ms at
+    262k on v5e) with ops that scale at memory bandwidth.
     """
     levels = cfg.num_levels(n)
     offs = cfg.level_offsets(n)
-    total = offs[-1]
     cap0 = offs[1]
-    mr = jnp.zeros((total, 3), r_sorted.dtype).at[:n].set(r_sorted)
+    parts = [jnp.zeros((cap0, 3), r_sorted.dtype).at[:n].set(r_sorted)]
     for l in range(levels - 1):
-        rb = mr[offs[l] : offs[l + 1]].reshape(-1, BANK, 3)
+        rb = parts[l].reshape(-1, BANK, 3)
         oh = state.restrict_onehot[offs[l] // BANK : offs[l + 1] // BANK]
-        part = jnp.einsum(
-            "bli,bic->blc",
-            oh,
-            rb,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        ).reshape(-1, 3)                                   # [cap_l, 3]
+        part = jnp.sum(oh[:, :, :, None] * rb[:, None, :, :], axis=2)
         pos = state.restrict_pos[offs[l + 1] - cap0 : offs[l + 2] - cap0]
         vals = jnp.take(
-            part, pos - offs[l], axis=0, mode="fill", fill_value=0.0
+            part.reshape(-1, 3), pos - offs[l], axis=0, mode="fill", fill_value=0.0
         )                                                  # [cap_{l+1}, 3]
-        mr = jax.lax.dynamic_update_slice(mr, vals, (offs[l + 1], 0))
-    return mr
+        parts.append(vals)
+    return jnp.concatenate(parts, axis=0)
 
 
 def prolong_and_collect_gather(
@@ -139,26 +132,26 @@ def prolong_and_collect_gather(
     return z
 
 
-def prolong_and_collect_matmul(
+def prolong_and_collect_onehot(
     mz: jnp.ndarray,
     state: "ApplyState",
     cfg: SchwarzConfig,
     n: int,
 ) -> jnp.ndarray:
-    """Additive multi-level sum (CollectFinalZ, cpp:1698-1719), matmul form.
+    """Additive multi-level sum (CollectFinalZ, cpp:1698-1719), one-hot form.
 
-    Coarse levels accumulate top-down with small gathers (≤ cap1 rows);
-    the fine level — the only N-row gather — is replaced by one batched
-    (BANK,3) dynamic-slice gather at each bank's cluster anchor plus the
-    transposed restriction one-hot matmul: contrib[b,i] = Σ_l oh[b,l,i] ·
-    pz[pb[b]+l], which equals pz[parent(i)] because per-bank cluster ids
-    are consecutive from pb[b]. Measured 9.3 ms vs the ancestor-gather
-    form's 0.78 ms at 65k verts on v5e (vmapped dynamic_slice is priced
-    per output row, and the tiny matmuls pad badly) — kept as a
-    config-gated alternate (cfg.use_matmul_transfer), NOT the default.
+    Coarse levels accumulate top-down with small gathers (≤ cap1 rows).
+    The fine level — the only N-row step — avoids the N-row ancestor
+    gather: level-1 z values scatter into their per-bank cluster SLOTS
+    (cap1 rows, small) and are then distributed to the 32 fine nodes of
+    each bank by the transposed restriction one-hot (broadcast-multiply-
+    reduce, pure VPU streaming): contrib[b,i] = Σ_lc oh[b,lc,i]·zslot[b,lc].
+    The restrict+prolong one-hot pair fuses into one pass over the
+    broadcast on v5e (~0.53 ms at 65k vs 1.5+0.78 ms scatter+gather).
     """
     levels = cfg.num_levels(n)
     offs = cfg.level_offsets(n)
+    cap0 = offs[1]
     top = min(levels, cfg.max_applied_levels)  # apply levels 0..top-1
     pz = mz
     for l in range(top - 2, 0, -1):
@@ -167,22 +160,19 @@ def prolong_and_collect_matmul(
         pz = pz.at[seg].add(jnp.take(pz, parents, axis=0, mode="fill", fill_value=0))
     z = mz[:n]
     if top > 1:
-        b0 = offs[1] // BANK
-        pb0 = state.restrict_pb[:b0]  # <= total by construction
-        # Pad so a slice anchored at the last node (or the `total` sentinel
-        # of an inactive bank) stays in range WITHOUT shifting the anchor —
-        # dynamic_slice's internal clamp would misalign the one-hot.
-        pz_pad = jnp.concatenate([pz, jnp.zeros((BANK, 3), pz.dtype)])
-        vals = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(pz_pad, (s, 0), (BANK, 3))
-        )(pb0)                                             # [B0, 32, 3]
-        contrib = jnp.einsum(
-            "bli,blc->bic",
-            state.restrict_onehot[:b0],
-            vals,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
+        b0 = cap0 // BANK
+        pos1 = state.restrict_pos[: offs[2] - cap0]        # level-1 node -> fine slot
+        pz1 = pz[cap0 : offs[2]]                           # [cap1, 3]
+        slot = jnp.where(pos1 >= 0, pos1, cap0)
+        zslot = (
+            jnp.zeros((cap0 + 1, 3), pz.dtype)
+            .at[slot].set(pz1, mode="drop")[:cap0]
+            .reshape(b0, BANK, 3)
         )
+        contrib = jnp.sum(
+            state.restrict_onehot[:b0][:, :, :, None] * zslot[:, :, None, :],
+            axis=1,
+        )                                                  # [B0, 32, 3]
         z = z + contrib.reshape(-1, 3)[:n]
     return z
 
@@ -193,9 +183,9 @@ def restrict_residual(
     cfg: SchwarzConfig,
     n: int,
 ) -> jnp.ndarray:
-    """Residual restriction, dispatching on cfg.use_matmul_transfer."""
-    if cfg.use_matmul_transfer:
-        return restrict_residual_matmul(r_sorted, state, cfg, n)
+    """Residual restriction, dispatching on cfg.use_onehot_transfer."""
+    if cfg.use_onehot_transfer:
+        return restrict_residual_onehot(r_sorted, state, cfg, n)
     return restrict_residual_scatter(r_sorted, state.going_next, cfg, n)
 
 
@@ -205,9 +195,9 @@ def prolong_and_collect(
     cfg: SchwarzConfig,
     n: int,
 ) -> jnp.ndarray:
-    """Additive prolongation, dispatching on cfg.use_matmul_transfer."""
-    if cfg.use_matmul_transfer:
-        return prolong_and_collect_matmul(mz, state, cfg, n)
+    """Additive prolongation, dispatching on cfg.use_onehot_transfer."""
+    if cfg.use_onehot_transfer:
+        return prolong_and_collect_onehot(mz, state, cfg, n)
     return prolong_and_collect_gather(mz, state.ancestors, state.going_next, cfg, n)
 
 

@@ -136,12 +136,12 @@ def test_pcg_iterations_stable_across_sizes():
     assert iters[1] <= 3 * iters[0] + 10, iters
 
 
-def test_matmul_restriction_equals_scatter():
-    """The batched one-hot matmul restriction must reproduce the scatter
-    form bit-for-bit in structure (same sums, FP-tolerance)."""
+def test_onehot_restriction_equals_scatter():
+    """The one-hot broadcast-reduce restriction must reproduce the
+    scatter form (same sums, FP-tolerance)."""
     import jax.numpy as jnp
     from precond_tpu.models import cloth
-    from precond_tpu.ops.apply import restrict_residual_matmul, restrict_residual_scatter
+    from precond_tpu.ops.apply import restrict_residual_onehot, restrict_residual_scatter
     from precond_tpu.solver import compute_sort_maps, prepare_with_system
 
     cfg = SchwarzConfig()
@@ -152,20 +152,19 @@ def test_matmul_restriction_equals_scatter():
     state, _ = prepare_with_system(ell, maps, cfg)
     rng = np.random.default_rng(3)
     r = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
-    a = np.asarray(restrict_residual_matmul(r, state, cfg, n))
+    a = np.asarray(restrict_residual_onehot(r, state, cfg, n))
     b = np.asarray(restrict_residual_scatter(r, state.going_next, cfg, n))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)  # FP sum order
 
 
-def test_matmul_prolong_equals_gather():
-    """The slice-gather + transposed one-hot prolongation must reproduce
-    the ancestor-gather form (incl. banks whose cluster range ends at the
-    level boundary — the anchor must not be clamp-shifted)."""
+def test_onehot_prolong_equals_gather():
+    """The slot-scatter + transposed one-hot prolongation must reproduce
+    the ancestor-gather form on meshes incl. partial end-of-level banks."""
     import jax.numpy as jnp
     from precond_tpu.models import cloth
     from precond_tpu.ops.apply import (
         prolong_and_collect_gather,
-        prolong_and_collect_matmul,
+        prolong_and_collect_onehot,
     )
     from precond_tpu.solver import compute_sort_maps, prepare_with_system
 
@@ -179,7 +178,7 @@ def test_matmul_prolong_equals_gather():
         total = cfg.level_offsets(n)[-1]
         rng = np.random.default_rng(7)
         mz = jnp.asarray(rng.standard_normal((total, 3)).astype(np.float32))
-        a = np.asarray(prolong_and_collect_matmul(mz, state, cfg, n))
+        a = np.asarray(prolong_and_collect_onehot(mz, state, cfg, n))
         b = np.asarray(
             prolong_and_collect_gather(
                 mz, state.ancestors, state.going_next, cfg, n
