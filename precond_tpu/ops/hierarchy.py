@@ -248,3 +248,43 @@ def ancestor_node_ids(h: Hierarchy, cfg: SchwarzConfig, n: int) -> jnp.ndarray:
     if not rows:
         return jnp.zeros((n, 0), jnp.int32)
     return jnp.stack(rows, axis=1)
+
+
+def restriction_operators(going_next: jnp.ndarray, cfg: SchwarzConfig, n: int):
+    """One-hot transfer operators shared by apply and assembly.
+
+    Clusters are in-bank with consecutive per-bank ids (_cluster_banks), so
+    a bank's smallest parent id anchors its cluster range: local cluster
+    index = parent - bank_min. Returns (onehot f32[total//32,32,32] with
+    onehot[b,lc,i] = 1 iff in-bank node i belongs to the bank's lc-th
+    cluster; pos i32[total-cap0] mapping each coarse node to its flat slot
+    offs[l]+b*32+lc in the child level's per-bank cluster-sum layout, -1
+    when inactive; pb i32[total//32] per-bank anchors, `total` when
+    inactive). The compaction index inverts the per-bank layout via one
+    searchsorted over the (nondecreasing) bank minima.
+    """
+    levels = cfg.num_levels(n)
+    offs = cfg.level_offsets(n)
+    total = offs[-1]
+    onehot = jnp.zeros((total // BANK, BANK, BANK), jnp.float32)
+    pos = jnp.full((total - offs[1],), -1, jnp.int32)
+    pbs = jnp.full((total // BANK,), total, jnp.int32)
+    lc_iota = jnp.arange(BANK, dtype=jnp.int32)
+    for l in range(levels - 1):
+        g2 = going_next[offs[l] : offs[l + 1]].reshape(-1, BANK)   # [Bl,32]
+        valid = g2 < total
+        pb = jnp.min(jnp.where(valid, g2, total), axis=1)          # [Bl]
+        local = jnp.clip(g2 - pb[:, None], 0, BANK - 1)
+        oh = (valid[:, None, :] & (local[:, None, :] == lc_iota[None, :, None])).astype(jnp.float32)
+        onehot = jax.lax.dynamic_update_slice(onehot, oh, (offs[l] // BANK, 0, 0))
+        pbs = jax.lax.dynamic_update_slice(pbs, pb, (offs[l] // BANK,))
+        c_node = jnp.arange(offs[l + 1], offs[l + 2], dtype=jnp.int32)
+        b_of = jnp.clip(
+            jnp.searchsorted(pb, c_node, side="right").astype(jnp.int32) - 1,
+            0, pb.shape[0] - 1,
+        )
+        local_of = c_node - pb[b_of]
+        okc = (local_of >= 0) & (local_of < BANK)
+        p_slot = jnp.where(okc, offs[l] + b_of * BANK + local_of, -1)
+        pos = jax.lax.dynamic_update_slice(pos, p_slot, (offs[l + 1] - offs[1],))
+    return onehot, pos, pbs

@@ -73,6 +73,7 @@ def prepare_with_system(
         terms = collision_terms(mapped)
 
     hier = hi.build_hierarchy(ell_sorted.idx, ell_sorted.mask, cfg, pairs)
+    onehot, pos, pbs = hi.restriction_operators(hier.going_next, cfg, n)
     h96 = assemble_banked_hessian(ell_sorted, hier, cfg, terms)
     if cfg.use_pallas_inverse and jax.default_backend() != "cpu":
         from .ops.pallas.chol_inverse import invert_spd_blocks_chol
@@ -81,7 +82,6 @@ def prepare_with_system(
     else:
         inv96 = invert_spd_blocks(h96)
     inv96 = inv96.astype(jnp.dtype(cfg.inverse_dtype))
-    onehot, pos, pbs = _restriction_operators(hier.going_next, cfg, n)
     state = ApplyState(
         sorted_to_orig=maps.sorted_to_orig,
         orig_to_sorted=maps.orig_to_sorted,
@@ -96,43 +96,9 @@ def prepare_with_system(
     return state, ell_sorted
 
 
-def _restriction_operators(going_next: jnp.ndarray, cfg: SchwarzConfig, n: int):
-    """Matmul-form restriction operators (see ops/apply.restrict_residual).
-
-    Clusters are in-bank with consecutive per-bank ids (hierarchy
-    _cluster_banks), so a bank's smallest parent id anchors its cluster
-    range: local cluster index = parent - bank_min. The compaction index
-    pos[p] inverts that per-bank layout via one searchsorted over the
-    (nondecreasing) bank minima.
-    """
-    levels = cfg.num_levels(n)
-    offs = cfg.level_offsets(n)
-    total = offs[-1]
-    bank = hi.BANK
-    onehot = jnp.zeros((total // bank, bank, bank), jnp.float32)
-    pos = jnp.full((total - offs[1],), -1, jnp.int32)
-    pbs = jnp.full((total // bank,), total, jnp.int32)
-    lc_iota = jnp.arange(bank, dtype=jnp.int32)
-    for l in range(levels - 1):
-        g2 = going_next[offs[l] : offs[l + 1]].reshape(-1, bank)   # [Bl,32]
-        valid = g2 < total
-        pb = jnp.min(jnp.where(valid, g2, total), axis=1)          # [Bl]
-        local = jnp.clip(g2 - pb[:, None], 0, bank - 1)
-        oh = (valid[:, None, :] & (local[:, None, :] == lc_iota[None, :, None])).astype(jnp.float32)
-        onehot = jax.lax.dynamic_update_slice(
-            onehot, oh, (offs[l] // bank, 0, 0)
-        )
-        pbs = jax.lax.dynamic_update_slice(pbs, pb, (offs[l] // bank,))
-        c_node = jnp.arange(offs[l + 1], offs[l + 2], dtype=jnp.int32)
-        b_of = jnp.clip(
-            jnp.searchsorted(pb, c_node, side="right").astype(jnp.int32) - 1,
-            0, pb.shape[0] - 1,
-        )
-        local_of = c_node - pb[b_of]
-        ok = (local_of >= 0) & (local_of < bank)
-        p_slot = jnp.where(ok, offs[l] + b_of * bank + local_of, -1)
-        pos = jax.lax.dynamic_update_slice(pos, p_slot, (offs[l + 1] - offs[1],))
-    return onehot, pos, pbs
+# Back-compat alias; the implementation lives in ops/hierarchy.py so both
+# the apply state and the assembly reduction share one operator build.
+_restriction_operators = hi.restriction_operators
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
