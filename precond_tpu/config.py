@@ -55,14 +55,19 @@ class SchwarzConfig:
     # cpp:600-614; we square a boolean adjacency matrix on the MXU).
     closure_iters: int = 5
 
-    # Use the Pallas LDL^T-inverse kernel (ops/pallas/chol_inverse.py) for
-    # the batched 96x96 factorization when running on an accelerator
-    # backend. It is VMEM-resident (HBM traffic = read-A + write-inverse),
-    # produces an exactly-symmetric PSD inverse (Gram form), and replaces
-    # the per-matrix-serialized XLA cholesky+triangular_solve path that
-    # dominated round-1 prepare. On CPU backends the XLA path is always
-    # used (Mosaic kernels would need the slow interpreter).
-    use_pallas_inverse: bool = True
+    # Batched 96x96 factorization kernel:
+    #   "panel"  — full-batch panel-32 blocked LDL^T + Gram
+    #              (ops/batched_inverse.invert_spd_blocks_panel): batch-minor
+    #              VMEM-resident elimination loops, VPU contraction updates,
+    #              one MXU Gram. 3.8 ms at 2185 blocks on v5e — 8.3x the XLA
+    #              cholesky path, 3.4x the Pallas kernel (which is
+    #              latency-bound at 96 steps x B/G grid steps). Pure jnp, so
+    #              it is also the CPU default.
+    #   "pallas" — VMEM-resident per-group Pallas LDL^T kernel
+    #              (ops/pallas/chol_inverse.py); kept as an A/B alternate.
+    #              Falls back to "panel" on CPU backends.
+    #   "xla"    — jnp.linalg.cholesky + triangular solves (oracle).
+    inverse_kernel: str = "panel"
     # Blocks factorized per Pallas grid step (VMEM holds 2 scratch copies;
     # 32 measured best on v5e, 64 exceeds VMEM and fails to compile).
     pallas_inverse_group: int = 32

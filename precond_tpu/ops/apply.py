@@ -141,13 +141,17 @@ def prolong_and_collect_onehot(
     """Additive multi-level sum (CollectFinalZ, cpp:1698-1719), one-hot form.
 
     Coarse levels accumulate top-down with small gathers (≤ cap1 rows).
-    The fine level — the only N-row step — avoids the N-row ancestor
-    gather: level-1 z values scatter into their per-bank cluster SLOTS
-    (cap1 rows, small) and are then distributed to the 32 fine nodes of
-    each bank by the transposed restriction one-hot (broadcast-multiply-
-    reduce, pure VPU streaming): contrib[b,i] = Σ_lc oh[b,lc,i]·zslot[b,lc].
-    The restrict+prolong one-hot pair fuses into one pass over the
-    broadcast on v5e (~0.53 ms at 65k vs 1.5+0.78 ms scatter+gather).
+    The fine level — the only N-row step — avoids both the N-row ancestor
+    gather AND the cap1-row slot scatter (40 ns/row issue pricing: 164 µs
+    at 65k on v5e): a bank's 32 parent ids are CONSECUTIVE from its anchor
+    pb[b] (ops/hierarchy._cluster_banks), so they live in ≤2 consecutive
+    level-1 banks. Gather those two banks (one 2-row bank gather per fine
+    bank), align by the anchor's in-bank shift r[b] with an iota-compare
+    one-hot built in registers (no HBM read), and distribute to fine nodes
+    with the transposed restriction one-hot:
+        winshift[b,lc] = Σ_j (j == lc + r[b]) · win[b,j]
+        contrib[b,i]   = Σ_lc oh[b,lc,i] · winshift[b,lc]
+    — pure streaming; ~11 MB moved at 65k (vs 164 µs scatter before).
     """
     levels = cfg.num_levels(n)
     offs = cfg.level_offsets(n)
@@ -161,16 +165,26 @@ def prolong_and_collect_onehot(
     z = mz[:n]
     if top > 1:
         b0 = cap0 // BANK
-        pos1 = state.restrict_pos[: offs[2] - cap0]        # level-1 node -> fine slot
+        cap1 = offs[2] - cap0
         pz1 = pz[cap0 : offs[2]]                           # [cap1, 3]
-        slot = jnp.where(pos1 >= 0, pos1, cap0)
-        zslot = (
-            jnp.zeros((cap0 + 1, 3), pz.dtype)
-            .at[slot].set(pz1, mode="drop")[:cap0]
-            .reshape(b0, BANK, 3)
-        )
+        pb = state.restrict_pb[:b0] - cap0                 # level-1-local anchors
+        q = jnp.clip(pb // BANK, 0, cap1 // BANK - 1)      # window start bank
+        r = pb - q * BANK                                  # in-window shift, [0,32)
+        pzb = jnp.concatenate(
+            [pz1, jnp.zeros((BANK, 3), pz1.dtype)]
+        ).reshape(-1, BANK, 3)                             # [cap1/32+1, 32, 3]
+        win = jnp.take(
+            pzb, jnp.stack([q, q + 1], axis=1), axis=0,
+            mode="fill", fill_value=0.0,
+        ).reshape(b0, 2 * BANK, 3)                         # [B0, 64, 3]
+        jj = jnp.arange(2 * BANK, dtype=jnp.int32)
+        lc = jnp.arange(BANK, dtype=jnp.int32)
+        shift = (jj[None, None, :] == (lc[None, :, None] + r[:, None, None]))
+        winshift = jnp.sum(
+            shift.astype(pz.dtype)[:, :, :, None] * win[:, None, :, :], axis=2
+        )                                                  # [B0, 32, 3]
         contrib = jnp.sum(
-            state.restrict_onehot[:b0][:, :, :, None] * zslot[:, :, None, :],
+            state.restrict_onehot[:b0][:, :, :, None] * winshift[:, :, None, :],
             axis=1,
         )                                                  # [B0, 32, 3]
         z = z + contrib.reshape(-1, 3)[:n]

@@ -166,6 +166,36 @@ def _level_rows(idx, otl, lam, ok, blk9, myl, dself9, level: int) -> jnp.ndarray
     return out.reshape(-1, ROW)[:n]
 
 
+def _reduce_rows_to_level(
+    vals0: jnp.ndarray, hier: Hierarchy, cfg: SchwarzConfig, n: int, level: int
+) -> jnp.ndarray:
+    """Reduce fine-row payloads [n,288] to level-`level` rows [cap_l,288].
+
+    Composes `level` anchored one-hot cluster reductions — each a per-bank
+    broadcast-multiply-reduce (VPU streaming, fuses like the apply-phase
+    restrict) plus a small compaction gather — reproducing the
+    scatter-by-ancestor sum exactly: the one-hot chain IS repeated
+    going_next. Replaces the N-row 288-wide scatter (40 ns/row issue
+    pricing: ~1.9 ms/level at 65k on v5e). NOTE: an einsum/matmul form of
+    the same reduction was measured 64 ms SLOWER (batched [32,32]x[32,288]
+    matmuls at HIGHEST precision lower catastrophically); keep the
+    broadcast form.
+    """
+    offs = cfg.level_offsets(n)
+    cap0 = offs[1]
+    part = jnp.pad(vals0, ((0, cap0 - n), (0, 0)))
+    for l in range(level):
+        rb = part.reshape(-1, BANK, ROW)
+        oh = hier.onehot[offs[l] // BANK : offs[l + 1] // BANK]
+        red = jnp.sum(oh[:, :, :, None] * rb[:, None, :, :], axis=2)  # [W,lc,ROW]
+        pos_l = hier.pos[offs[l + 1] - cap0 : offs[l + 2] - cap0]
+        part = jnp.take(
+            red.reshape(-1, ROW), pos_l - offs[l], axis=0,
+            mode="fill", fill_value=0.0,
+        )
+    return part
+
+
 def assemble_banked_hessian(
     ell_sorted: BlockEll,
     hier: Hierarchy,
@@ -221,6 +251,7 @@ def assemble_banked_hessian(
 
     # ---- per-level row construction + placement --------------------------
     hb2 = jnp.zeros((total + 1, ROW), jnp.float32)
+    offs = cfg.level_offsets(n)
     for l in range(levels):
         vals = _level_rows(
             ell_sorted.idx, otanc[:, :, l], lam, ok, blk9, myanc[:, l], dself9, l
@@ -228,7 +259,8 @@ def assemble_banked_hessian(
         if l == 0:
             hb2 = hb2.at[:n].add(vals)  # rows ARE the fine nodes
         else:
-            hb2 = _row_scatter(hb2, myanc[:, l], vals, myanc[:, l] < total, total)
+            part = _reduce_rows_to_level(vals, hier, cfg, n, l)
+            hb2 = hb2.at[offs[l] : offs[l + 1]].add(part)
 
     # ---- coarse-node additional, full chain (cpp:1236-1252) ---------------
     coarse_off = cfg.level_offsets(n)[1] if levels > 1 else total

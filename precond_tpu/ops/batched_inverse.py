@@ -53,6 +53,118 @@ def invert_spd_blocks(h96: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(-1, m, m)[:b]
 
 
+def _mm(a, b, tb=False):
+    """Batched matmul a @ b (or a @ b^T) as a fused VPU broadcast-reduce.
+
+    The panel algebra's contractions are at most 32 wide; as MXU
+    dot_generals every operand pads to 128 and f32 accuracy costs a 6-pass
+    bf16 decomposition — measured ~0.45 ms EACH at B=2185 regardless of
+    size. The broadcast form fuses into one streaming pass, is exact f32,
+    and costs ~0.1 ms.
+    """
+    if tb:
+        return jnp.sum(a[:, :, None, :] * b[:, None, :, :], axis=3)
+    return jnp.sum(a[:, :, :, None] * b[:, None, :, :], axis=2)
+
+
+def _factor32(app: jnp.ndarray):
+    """(W1 = L^-1 unit-lower, d) of a batch of SPD panels, in-place LDL^T.
+
+    The elimination runs in BATCH-MINOR layout [P(row), 2P(col), B] with
+    W = L^-1 maintained in the right half of an augmented carry (the same
+    row operations applied to I). Batch-minor keeps the minor dimension
+    lane-dense — a [B,P,P] layout pads the 32-wide minor to 128 lanes (4x
+    traffic, 83 us/step measured) — and the whole carry (17.8 MB at
+    B=2185) stays VMEM-resident across the fori_loop, so a step costs
+    ~4-8 us. The whole batch advances together: the 32-step sequential
+    chain is paid ONCE, not once per VMEM group (a Pallas in-VMEM variant
+    is latency-bound at 96 steps x B/G grid steps — measured 6x slower),
+    and maintaining W in-loop replaces ~10 padded batched 32x32 matmuls
+    per panel (a blocked triangular inverse) that measured ~1 ms each
+    panel. Pivot-row extraction is one contiguous leading-axis slice.
+    """
+    b, p, _ = app.shape
+    sub = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)             # [P,1]
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
+    ).astype(app.dtype)
+    m0 = jnp.concatenate(
+        [jnp.transpose(app, (1, 2, 0)), jnp.broadcast_to(eye[:, :, None], (p, p, b))],
+        axis=1,
+    )                                                                # [P,2P,B]
+
+    def step(j, m):
+        row = jax.lax.dynamic_slice_in_dim(m, j, 1, axis=0)[0]       # [2P,B]
+        arow = row[:p]
+        dj = jnp.sum(arow * (sub == j), axis=0, keepdims=True)       # [1,B]
+        # The trailing block stays symmetric, so column j below the pivot
+        # equals the pivot row right of it — no column extraction needed.
+        c = (arow * (sub > j)) / dj                                  # [P,B]
+        return m - c[:, None, :] * row[None, :, :]                   # rank-1
+
+    mf = jnp.transpose(jax.lax.fori_loop(0, p, step, m0), (2, 0, 1))  # [B,P,2P]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
+    d = jnp.sum(mf[:, :, :p] * (ii == jj)[None], axis=2)             # [B,P]
+    return mf[:, :, p:], d
+
+
+def invert_spd_blocks_panel(h96: jnp.ndarray) -> jnp.ndarray:
+    """[B,96,96] SPD -> symmetric PSD inverses, panel-32 blocked LDL^T.
+
+    The TPU-native replacement for the reference's AVX2 in-place 96x96
+    LDL^T inverse (LDLtInverse512, cpp:1347-1546): three 32-wide panel
+    eliminations (full-batch fused VPU passes), MXU rank-32 trailing
+    updates, a log-depth triangular-inverse, and one Gram matmul
+    A^-1 = Wh^T Wh (Wh = D^-1/2 L^-1) that makes the result exactly
+    symmetric and PSD by construction — the property that keeps CG valid
+    on cond~1e7 stiff systems.
+    """
+    b = h96.shape[0]
+    P, NP = 32, 3
+    # Shrinking Schur complement: updating the full [B,96,96] in place
+    # copies the whole (128-lane-padded) array per panel; the live
+    # trailing block is all later panels need.
+    s = h96
+    w1s, diss, lblk = [], [], {}
+    for p in range(NP):
+        w1, d = _factor32(s[:, :P, :P])
+        w1s.append(w1)
+        diss.append(jax.lax.rsqrt(d))
+        if p < NP - 1:
+            r = s[:, P:, :P]                                 # [B,T,32]
+            y = _mm(r, w1, tb=True)                          # R @ W1^T
+            l21 = y * (1.0 / d)[:, None, :]
+            s = s[:, P:, P:] - _mm(l21, y, tb=True)          # [B,T,T]
+            for q in range(p + 1, NP):
+                lblk[(q, p)] = l21[:, P * (q - p - 1) : P * (q - p), :]
+
+    wb = {(0, 0): w1s[0], (1, 1): w1s[1], (2, 2): w1s[2]}
+    wb[(1, 0)] = -_mm(w1s[1], _mm(lblk[(1, 0)], wb[(0, 0)]))
+    wb[(2, 0)] = -_mm(
+        w1s[2], _mm(lblk[(2, 0)], wb[(0, 0)]) + _mm(lblk[(2, 1)], wb[(1, 0)])
+    )
+    wb[(2, 1)] = -_mm(w1s[2], _mm(lblk[(2, 1)], wb[(1, 1)]))
+
+    zero = jnp.zeros((b, P, P), jnp.float32)
+    rows = []
+    for q in range(NP):
+        blks = [
+            diss[q][:, :, None] * wb[(q, p)] if (q, p) in wb else zero
+            for p in range(NP)
+        ]
+        rows.append(jnp.concatenate(blks, axis=2))
+    wh = jnp.concatenate(rows, axis=1)                       # [B,96,96]
+    gram = jax.lax.dot_general(
+        wh, wh,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return 0.5 * (gram + jnp.swapaxes(gram, 1, 2))
+
+
 def apply_block_inverse(inv96: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """z_b = inv_b @ r_b for every block. ([B,96,96], [B,96]) -> [B,96].
 

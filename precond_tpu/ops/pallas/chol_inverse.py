@@ -99,6 +99,134 @@ def _make_kernel(extract: str):
     return kernel
 
 
+P = 32  # panel width
+
+
+def _factor32(app):
+    """LDL^T of a batch of 32x32 SPD panels, maintaining W = L^-1.
+
+    app: [G,32,32]. Returns (w [G,32,32] = L^-1 unit-lower, d [G,32]).
+    32 scalar-pivot steps on 32-wide rows — 1/9 the VPU work of the same
+    loop on 96-wide rows; extraction is one-hot (interpret-mode friendly).
+    """
+    g = app.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)            # [1,32]
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (P, P), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)
+    ).astype(jnp.float32)
+    w0 = jnp.broadcast_to(eye, (g, P, P))
+    d0 = jnp.zeros((g, P), jnp.float32)
+
+    def step(j, carry):
+        m, w, d = carry
+        e = (lane == j).astype(jnp.float32)                          # [1,32]
+        row = jnp.sum(m * e[:, :, None], axis=1)                     # [G,32]
+        dj = jnp.sum(row * e, axis=1)                                # [G]
+        col = jnp.sum(m * e[:, None, :], axis=2)                     # [G,32]
+        below = (lane > j).astype(jnp.float32)                       # [1,32]
+        c = (col * below) * (1.0 / dj)[:, None]                      # [G,32]
+        m = m - c[:, :, None] * row[:, None, :]
+        wrow = jnp.sum(w * e[:, :, None], axis=1)                    # [G,32]
+        w = w - c[:, :, None] * wrow[:, None, :]
+        d = d + e * dj[:, None]
+        return (m, w, d)
+
+    _, w, d = jax.lax.fori_loop(0, P, step, (app, w0, d0))
+    return w, d
+
+
+def _mm(a, b, tb=False):
+    """Batched matmul a @ b (or a @ b^T), f32-accurate, batch on axis 0."""
+    return jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((2,), (2 if tb else 1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _panel_kernel(a_ref, out_ref, aw_ref, wh_ref):
+    """Blocked right-looking LDL^T inverse: panel-32 scalar loops + MXU
+    rank-32 trailing updates + one 96x96 Gram (VERDICT round-1 item 1;
+    reference kernel SeSchwarzPreconditioner.cpp:1347-1546)."""
+    g = a_ref.shape[0]
+    aw_ref[:] = a_ref[:]
+
+    w1s, diss, lblk = [], [], {}
+    for p in range(3):
+        lo, hi = P * p, P * (p + 1)
+        app = aw_ref[:, lo:hi, lo:hi]
+        w1, d = _factor32(app)
+        dinv = 1.0 / d
+        w1s.append(w1)
+        diss.append(jax.lax.rsqrt(d))
+        if p < 2:
+            r = aw_ref[:, hi:, lo:hi]                                # [G,T,32]
+            y = _mm(r, w1, tb=True)                                  # R @ W1^T
+            l21 = y * dinv[:, None, :]
+            aw_ref[:, hi:, hi:] = aw_ref[:, hi:, hi:] - _mm(l21, y, tb=True)
+            for q in range(p + 1, 3):
+                lblk[(q, p)] = l21[:, P * (q - p - 1) : P * (q - p), :]
+
+    # W = L^-1 blockwise (unit-block-lower forward substitution)
+    wb = {(0, 0): w1s[0], (1, 1): w1s[1], (2, 2): w1s[2]}
+    wb[(1, 0)] = -_mm(w1s[1], _mm(lblk[(1, 0)], wb[(0, 0)]))
+    wb[(2, 0)] = -_mm(
+        w1s[2],
+        _mm(lblk[(2, 0)], wb[(0, 0)]) + _mm(lblk[(2, 1)], wb[(1, 0)]),
+    )
+    wb[(2, 1)] = -_mm(w1s[2], _mm(lblk[(2, 1)], wb[(1, 1)]))
+
+    # Wh = D^-1/2 W written into the 96x96 scratch (zeros above diagonal)
+    zero = jnp.zeros((g, P, P), jnp.float32)
+    for q in range(3):
+        for p in range(3):
+            blk = diss[q][:, :, None] * wb[(q, p)] if (q, p) in wb else zero
+            wh_ref[:, P * q : P * (q + 1), P * p : P * (p + 1)] = blk
+
+    gram = jax.lax.dot_general(
+        wh_ref[:], wh_ref[:],
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out_ref[:] = 0.5 * (gram + jnp.swapaxes(gram, 1, 2))
+
+
+@functools.partial(jax.jit, static_argnames=("group",))
+def invert_spd_blocks_chol_panel(h96: jnp.ndarray, group: int = 32) -> jnp.ndarray:
+    """[B,96,96] SPD -> [B,96,96] symmetric PSD inverses (panel kernel)."""
+    b = h96.shape[0]
+    pad = (-b) % group
+    if pad:
+        h96 = jnp.concatenate(
+            [h96, jnp.broadcast_to(jnp.eye(DOF, dtype=h96.dtype), (pad, DOF, DOF))]
+        )
+    bp = b + pad
+    out = pl.pallas_call(
+        _panel_kernel,
+        grid=(bp // group,),
+        in_specs=[
+            pl.BlockSpec((group, DOF, DOF), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (group, DOF, DOF), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bp, DOF, DOF), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((group, DOF, DOF), jnp.float32),
+            pltpu.VMEM((group, DOF, DOF), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * DOF * DOF * DOF,
+            bytes_accessed=8 * bp * DOF * DOF,
+            transcendentals=bp * DOF,
+        ),
+    )(h96)
+    return out[:b]
+
+
 @functools.partial(jax.jit, static_argnames=("group", "extract"))
 def invert_spd_blocks_chol(
     h96: jnp.ndarray, group: int = 16, extract: str = "ds"

@@ -22,7 +22,7 @@ from .config import SchwarzConfig
 from .ops import hierarchy as hi
 from .ops.apply import ApplyState, precondition
 from .ops.assembly import CollisionTerms, assemble_banked_hessian
-from .ops.batched_inverse import invert_spd_blocks
+from .ops.batched_inverse import invert_spd_blocks, invert_spd_blocks_panel
 from .ops.blockcsr import BlockEll, permute
 from .ops.stencils import Stencils, collision_terms, stencil_pairs
 from .utils import aabb, morton
@@ -73,14 +73,18 @@ def prepare_with_system(
         terms = collision_terms(mapped)
 
     hier = hi.build_hierarchy(ell_sorted.idx, ell_sorted.mask, cfg, pairs)
-    onehot, pos, pbs = hi.restriction_operators(hier.going_next, cfg, n)
+    # The anchored one-hot transfer operators fall out of clustering
+    # (hi.restriction_operators rederives the same from going_next).
+    onehot, pos, pbs = hier.onehot, hier.pos, hier.pb
     h96 = assemble_banked_hessian(ell_sorted, hier, cfg, terms)
-    if cfg.use_pallas_inverse and jax.default_backend() != "cpu":
+    if cfg.inverse_kernel == "pallas" and jax.default_backend() != "cpu":
         from .ops.pallas.chol_inverse import invert_spd_blocks_chol
 
         inv96 = invert_spd_blocks_chol(h96, group=cfg.pallas_inverse_group)
-    else:
+    elif cfg.inverse_kernel == "xla":
         inv96 = invert_spd_blocks(h96)
+    else:
+        inv96 = invert_spd_blocks_panel(h96)
     inv96 = inv96.astype(jnp.dtype(cfg.inverse_dtype))
     state = ApplyState(
         sorted_to_orig=maps.sorted_to_orig,

@@ -261,3 +261,32 @@ def test_overflow_auto_recovery():
     z = np.asarray(pre.apply(jnp.asarray(r)))
     assert np.all(np.isfinite(z))
     assert float(np.sum(z * r)) > 0  # M^-1 positive definite on this r
+
+
+def test_inbuild_transfer_operators_match_rederived():
+    """The onehot/pos/pb carried on Hierarchy (built during clustering) must
+    equal what restriction_operators rederives from going_next."""
+    cfg = SchwarzConfig()
+    rng = np.random.default_rng(3)
+    n = 2000
+    # ring + random chords: multiple levels, irregular clusters
+    pairs = {(v, (v + 1) % n) for v in range(n)}
+    for _ in range(500):
+        a, b = (int(v) for v in rng.integers(0, n, 2))
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    k = 12
+    idx = np.zeros((n, k), np.int32)
+    mask = np.zeros((n, k), bool)
+    deg = np.zeros(n, np.int32)
+    for a, b in sorted(pairs):
+        for u, v in ((a, b), (b, a)):
+            if deg[u] < k:
+                idx[u, deg[u]] = v
+                mask[u, deg[u]] = True
+                deg[u] += 1
+    h = hi.build_hierarchy(jnp.asarray(idx), jnp.asarray(mask), cfg)
+    onehot, pos, pb = hi.restriction_operators(h.going_next, cfg, n)
+    np.testing.assert_array_equal(np.asarray(h.onehot), np.asarray(onehot))
+    np.testing.assert_array_equal(np.asarray(h.pos), np.asarray(pos))
+    np.testing.assert_array_equal(np.asarray(h.pb), np.asarray(pb))
