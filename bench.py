@@ -40,7 +40,9 @@ def main():
     config = os.environ.get("BENCH_CONFIG", "cloth")  # cloth | tet | collide
     grid = int(os.environ.get("BENCH_GRID", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "50"))
-    cfg = SchwarzConfig()
+    cfg = SchwarzConfig(
+        inverse_dtype=os.environ.get("BENCH_INV_DTYPE", "float32"),
+    )
 
     # Light vertices + stiff springs: the stiffness-dominated, genuinely
     # ill-conditioned regime real cloth sims operate in (this is where the
@@ -90,11 +92,25 @@ def main():
         positions = mesh.positions
     # Structured-grid stencil SpMV fast path (zero gathers; ~5x the gather
     # ELL on v5e). The Schwarz solve then runs in ORIGINAL (grid) order and
-    # pays precondition()'s two permute gathers instead — a large net win.
+    # crosses into Morton order inside the apply. For power-of-two square
+    # grids the Morton permutation is an analytic bit interleave, so the
+    # crossing is a reshape/transpose (~0.2 ms at 1M) instead of two N-row
+    # permute gathers (~8.8 ms at 1M).
     ssys = None
+    gmk = None
     if config == "cloth" and os.environ.get("BENCH_STENCIL", "1") != "0":
+        from precond_tpu.utils import gridmorton as gm
+
         ssys = cloth.assemble_system_stencil(mesh)
-    maps = compute_sort_maps(jnp.asarray(positions))
+        if gm.supported(grid, grid) and os.environ.get("BENCH_GRIDMORTON", "1") != "0":
+            gmk = grid.bit_length() - 1
+    if gmk is not None:
+        from precond_tpu.solver import SortMaps
+
+        s2o, o2s = gm.sort_maps(gmk)
+        maps = SortMaps(jnp.asarray(s2o), jnp.asarray(o2s))
+    else:
+        maps = compute_sort_maps(jnp.asarray(positions))
     rng = np.random.default_rng(0)
     b = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
 
@@ -126,7 +142,14 @@ def main():
     # Whole solve lives in Morton-sorted space (b permuted once above):
     # drops the two N-row permute gathers per iteration that the
     # original-order precondition() pays, and makes SpMV gathers local.
-    if ssys is not None:
+    if ssys is not None and gmk is not None:
+        # grid-order solve; grid<->Morton crossings are reshape/transposes
+        def pre_op(st, r):
+            rs = gm.grid_to_morton(r, gmk)
+            return gm.morton_to_grid(precondition_sorted(st, rs, cfg), gmk)
+
+        spmv_op, b_iter = ssys, b
+    elif ssys is not None:
         # grid-order solve: stencil SpMV + orig-order precondition
         spmv_op, pre_op, b_iter = ssys, lambda st, r: precondition(st, r, cfg), b
     else:

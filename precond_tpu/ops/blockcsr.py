@@ -11,9 +11,11 @@ form is ELL: every row padded to the max degree K.
     diag   f32[N, 3, 3]     diagonal blocks
     mask   bool[N, K]       valid-slot mask
 
-SpMV y = H x is then a gather + einsum, which XLA fuses into MXU-friendly
-batched contractions; a Pallas row-partitioned kernel covers the hot path
-(ops/pallas/spmv.py).
+SpMV y = H x is then a gather + einsum. Measured on v5e the gather prices
+per offset (~4.2 ns x N*K), not per byte — so the production hot path for
+structured meshes eliminates gathers entirely (ops/gridstencil.py, ~5x),
+and this general ELL form is the fallback for unstructured topology plus
+the oracle for both.
 """
 
 from __future__ import annotations

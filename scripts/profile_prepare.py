@@ -28,7 +28,7 @@ ells = jax.jit(lambda e, m: permute(e, m.sorted_to_orig, m.orig_to_sorted))(ell,
 hier = jax.jit(lambda i, m: hi.build_hierarchy(i, m, cfg, None))(ells.idx, ells.mask)
 h96 = jax.jit(lambda e, h: assemble_banked_hessian(e, h, cfg, None))(ells, hier)
 
-from precond_tpu.ops.pallas.chol_inverse import invert_spd_blocks_chol
+from precond_tpu.ops import batched_inverse as bi
 
 
 def sync(a):
@@ -66,8 +66,8 @@ timeit("permute ELL", chain(lambda d, e, m: permute(e._replace(diag=d), m.sorted
 timeit("build_hierarchy", chain(lambda mskf, idx: hi.build_hierarchy(idx, mskf > 0, cfg, None).going_next.astype(jnp.float32), None), ells.mask.astype(jnp.float32), ells.idx)
 timeit("restriction_operators", chain(lambda gnf: hi.restriction_operators(gnf.astype(jnp.int32), cfg, n)[0], None), hier.going_next.astype(jnp.float32))
 timeit("assemble", chain(lambda d, e, h: assemble_banked_hessian(e._replace(diag=d), h, cfg, None)[:, 0, :], None), ells.diag, ells, hier)
-timeit("invert pallas", chain(lambda h: invert_spd_blocks_chol(h, group=cfg.pallas_inverse_group)[:, 0, :], None), h96)
-timeit("invert xla", chain(lambda h: invert_spd_blocks(h)[:, 0, :], None), h96)
+timeit("invert panel", chain(lambda h: bi.invert_spd_blocks_panel(h)[:, 0, :], None), h96)
+
 
 # full prepare (single dispatch, k=1)
 prep = jax.jit(lambda e, m: prepare_with_system(e, m, cfg, None))

@@ -1,0 +1,69 @@
+"""Analytic grid-Morton maps/transposes vs the gather form."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from precond_tpu.utils import gridmorton as gm
+
+
+def test_maps_are_inverse_permutations():
+    s2o, o2s = gm.sort_maps(4)
+    n = 256
+    assert sorted(s2o.tolist()) == list(range(n))
+    np.testing.assert_array_equal(s2o[o2s], np.arange(n))
+
+
+def test_transpose_matches_gather_permute():
+    k = 4
+    n = 4**k
+    s2o, o2s = gm.sort_maps(k)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((n, 3)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(gm.grid_to_morton(jnp.asarray(x), k)), x[s2o]
+    )
+    xm = x[s2o]
+    np.testing.assert_array_equal(
+        np.asarray(gm.morton_to_grid(jnp.asarray(xm), k)), x
+    )
+
+
+def test_banks_are_compact_tiles():
+    """Every 32-vertex bank of the analytic order is one 8x4 grid tile."""
+    k = 4
+    n = 1 << k
+    s2o, _ = gm.sort_maps(k)
+    for b in range(s2o.size // 32):
+        verts = s2o[32 * b : 32 * (b + 1)]
+        i, j = verts // n, verts % n
+        assert i.max() - i.min() == gm.TILE_I - 1
+        assert j.max() - j.min() == gm.TILE_J - 1
+        assert len(set(zip(i.tolist(), j.tolist()))) == 32
+
+
+def test_analytic_maps_give_valid_solver_ordering():
+    """A solve using the analytic maps must converge identically-well: any
+    consistent spatial sort is a valid Schwarz domain ordering."""
+    import jax
+    from precond_tpu.config import SchwarzConfig
+    from precond_tpu.models import cloth
+    from precond_tpu.ops.apply import precondition
+    from precond_tpu.parallel.pcg import pcg
+    from precond_tpu.ops import blockcsr
+    from precond_tpu.solver import SortMaps, prepare_with_system
+
+    k = 4  # 16x16 grid
+    mesh = cloth.make_grid(16, 16, z_wave=0.02)
+    ell = cloth.assemble_system(mesh)
+    cfg = SchwarzConfig()
+    s2o, o2s = gm.sort_maps(k)
+    maps = SortMaps(jnp.asarray(s2o), jnp.asarray(o2s))
+    state, ells = jax.jit(
+        lambda e, m: prepare_with_system(e, m, cfg, None)
+    )(ell, maps)
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(rng.standard_normal((mesh.num_verts, 3)).astype(np.float32))
+    res = pcg(lambda v: blockcsr.spmv(ell, v),
+              lambda r: precondition(state, r, cfg), b, tol=1e-4, max_iters=400)
+    assert float(res.rel_residual) < 1e-4
+    assert int(res.iterations) < 60
