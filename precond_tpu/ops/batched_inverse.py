@@ -122,6 +122,22 @@ def invert_spd_blocks_panel(h96: jnp.ndarray) -> jnp.ndarray:
     on cond~1e7 stiff systems.
     """
     b = h96.shape[0]
+    # Chunk so each chunk's [32,64,chunk] elimination carry stays
+    # VMEM-resident (~4us/step; at 35k blocks the 287MB carry spills to
+    # HBM and the 96-step chain streams it: 146ms vs ~20ms chunked at 1M).
+    chunk = 2048
+    if b > chunk:
+        pad = (-b) % chunk
+        hp = jnp.concatenate(
+            [h96, jnp.broadcast_to(jnp.eye(96, dtype=h96.dtype), (pad, 96, 96))]
+        ) if pad else h96
+        out = jax.lax.map(_invert_panel_batch, hp.reshape(-1, chunk, 96, 96))
+        return out.reshape(-1, 96, 96)[:b]
+    return _invert_panel_batch(h96)
+
+
+def _invert_panel_batch(h96: jnp.ndarray) -> jnp.ndarray:
+    b = h96.shape[0]
     P, NP = 32, 3
     # Shrinking Schur complement: updating the full [B,96,96] in place
     # copies the whole (128-lane-padded) array per panel; the live

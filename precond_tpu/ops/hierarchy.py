@@ -283,7 +283,7 @@ def build_hierarchy(
             red = jnp.sum(
                 ohl[:, :, :, None] * payload.reshape(-1, BANK, BANK)[:, None, :, :],
                 axis=2,
-            )                                                   # [Wc, lc, lane]
+            )
             payload = jnp.take(
                 red.reshape(-1, BANK), slotl, axis=0, mode="fill", fill_value=0.0
             )
