@@ -277,8 +277,13 @@ def update_stencil_blocks(offsets, ks: jnp.ndarray, positions: jnp.ndarray,
         full_offsets.append((di, dj))
         dirs.append(-at_b.reshape(n, 3, 3))
         full_offsets.append((-di, -dj))
+    # vertex-minor storage: the layout the SpMV contraction wants (see
+    # ops/gridstencil.py) — one assembly-time transpose instead of a
+    # per-PCG-iteration relayout copy of the whole block array.
     return StencilSystem(
-        diag.reshape(n, 3, 3), jnp.stack(dirs), tuple(full_offsets), (nx, ny)
+        diag.reshape(n, 9).T.reshape(3, 3, n),
+        jnp.stack(dirs).reshape(-1, n, 9).transpose(0, 2, 1).reshape(-1, 3, 3, n),
+        tuple(full_offsets), (nx, ny)
     )
 
 

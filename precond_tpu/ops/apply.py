@@ -170,9 +170,12 @@ def prolong_and_collect_onehot(
         pb = state.restrict_pb[:b0] - cap0                 # level-1-local anchors
         q = jnp.clip(pb // BANK, 0, cap1 // BANK - 1)      # window start bank
         r = pb - q * BANK                                  # in-window shift, [0,32)
+        # gather the two-bank windows as FLAT 96-float rows: a [.,32,3]-
+        # shaped gather result gets a {3,2,1,0} layout that XLA then
+        # relayout-copies (2x ~100 us/iter at 65k in the op trace)
         pzb = jnp.concatenate(
-            [pz1, jnp.zeros((BANK, 3), pz1.dtype)]
-        ).reshape(-1, BANK, 3)                             # [cap1/32+1, 32, 3]
+            [pz1.reshape(-1, BANK * 3), jnp.zeros((1, BANK * 3), pz1.dtype)]
+        )                                                  # [cap1/32+1, 96]
         win = jnp.take(
             pzb, jnp.stack([q, q + 1], axis=1), axis=0,
             mode="fill", fill_value=0.0,

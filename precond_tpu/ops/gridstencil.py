@@ -7,11 +7,13 @@ on a structured cloth grid every nonzero block lies at one of a dozen
 constant (di, dj) grid offsets, so H x can be computed with NO gathers at
 all: one padded copy of x and, per direction, a static window slice plus a
 batched 3x3 matvec. Measured on v5e at 65k verts: 0.64 ms vs 3.27 ms for
-the gather ELL — at the chip's streaming rate (the 113 MB of block traffic
-is the whole cost; gathers were 4.2 ns/offset x 786k offsets).
+the gather ELL — the 113 MB of block traffic is the whole cost.
 
-This is the TPU-idiomatic expression of a regular-mesh operator: a
-convolution-shaped stream over HBM that XLA fuses into one pass.
+Blocks are stored VERTEX-MINOR ([3,3,N] / [D,3,3,N]): the matvec
+vectorizes over N lanes, and with [N,3,3] storage XLA re-lays-out the
+whole block array INSIDE the PCG while-loop every iteration (a
+[12,65536,3,3] copy-start/copy-done pair, ~110 us/iter in the op trace).
+Vertex-minor storage is already the layout the contraction wants.
 """
 
 from __future__ import annotations
@@ -25,27 +27,30 @@ import jax.numpy as jnp
 class StencilSystem:
     """Block system matrix of a structured (nx, ny) grid in stencil form.
 
-    y = diag[v] @ x[v] + sum_d dirs[d][v] @ x[v + offset_d]
-
-    ``offsets`` (static) are grid displacements (di, dj); ``dirs[d][v]`` is
-    zero where v + offset_d falls off the grid. Registered as a pytree with
-    the offsets/shape as static aux data so jitted functions specialize on
-    the stencil shape but trace the block values.
+    y^T = diag_t . x^T + sum_d dirs_t[d] . shifted(x)^T, everything
+    vertex-minor. ``offsets`` (static) are grid displacements (di, dj);
+    ``dirs_t[d,:,:,v]`` is zero where v + offset_d falls off the grid.
+    Registered as a pytree with the offsets/shape as static aux data.
     """
 
-    def __init__(self, diag: jnp.ndarray, dirs: jnp.ndarray,
+    def __init__(self, diag_t: jnp.ndarray, dirs_t: jnp.ndarray,
                  offsets: Tuple[Tuple[int, int], ...], grid: Tuple[int, int]):
-        self.diag = diag      # f32[N,3,3]
-        self.dirs = dirs      # f32[D,N,3,3]
+        self.diag_t = diag_t    # f32[3,3,N]
+        self.dirs_t = dirs_t    # f32[D,3,3,N]
         self.offsets = tuple(map(tuple, offsets))
         self.grid = tuple(grid)
 
     @property
     def num_verts(self) -> int:
-        return self.diag.shape[0]
+        return self.diag_t.shape[-1]
+
+    @property
+    def diag(self) -> jnp.ndarray:
+        """[N,3,3] view (compat accessor for tests/tools)."""
+        return jnp.transpose(self.diag_t, (2, 0, 1))
 
     def tree_flatten(self):
-        return (self.diag, self.dirs), (self.offsets, self.grid)
+        return (self.diag_t, self.dirs_t), (self.offsets, self.grid)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -61,12 +66,13 @@ def spmv(sys: StencilSystem, x: jnp.ndarray) -> jnp.ndarray:
     """y = H x for x f32[N,3] in grid (row-major) vertex order."""
     nx, ny = sys.grid
     pad = max(max(abs(di), abs(dj)) for di, dj in sys.offsets) if sys.offsets else 0
-    xg = x.reshape(nx, ny, 3)
-    xp = jnp.pad(xg, ((pad, pad), (pad, pad), (0, 0)))
-    y = jnp.einsum("nij,nj->ni", sys.diag, x, preferred_element_type=jnp.float32)
+    xt = jnp.transpose(x)                                 # [3,N] (layout no-op)
+    xg = xt.reshape(3, nx, ny)
+    xp = jnp.pad(xg, ((0, 0), (pad, pad), (pad, pad)))
+    yt = jnp.einsum("ijn,jn->in", sys.diag_t, xt, preferred_element_type=jnp.float32)
     for d, (di, dj) in enumerate(sys.offsets):
-        w = xp[pad + di : pad + di + nx, pad + dj : pad + dj + ny].reshape(-1, 3)
-        y = y + jnp.einsum(
-            "nij,nj->ni", sys.dirs[d], w, preferred_element_type=jnp.float32
+        w = xp[:, pad + di : pad + di + nx, pad + dj : pad + dj + ny].reshape(3, -1)
+        yt = yt + jnp.einsum(
+            "ijn,jn->in", sys.dirs_t[d], w, preferred_element_type=jnp.float32
         )
-    return y
+    return jnp.transpose(yt)
