@@ -120,19 +120,40 @@ def main():
         return float(np.asarray(a).ravel()[0])
 
     # ---- prepare (hierarchy + assembly + factorization) ------------------
-    # min-of-3: the shared chip's per-dispatch floor varies per session by
-    # orders of magnitude (docs/DESIGN.md §3); min damps that noise. The
+    # Dispatch-cancelling measurement (VERDICT r1 item 2: "measure prepare
+    # inside a small in-jit repeat chain"): the shared chip's per-dispatch
+    # + fetch floor varies 0.03-30+ ms per session, so time a 1-prepare
+    # dispatch and a 2-prepare dispatch (second on a perturbed system so
+    # CSE can't collapse them) and difference them; min-of-3 each. The
     # sync is a SCALAR fetch — fetching a whole array would drag ~100MB
     # through the tunnel and pollute the timing by seconds.
     prep = jax.jit(lambda e, m, s: prepare_with_system(e, m, cfg, s))
+
+    @jax.jit
+    def prep2(e, m, s):
+        st1, _ = prepare_with_system(e, m, cfg, s)
+        e2 = e._replace(diag=e.diag * (1.0 + 1e-12 * st1.inv96[0, 0, 0]))
+        st2, _ = prepare_with_system(e2, m, cfg, s)
+        return st1, st2
+
     state, ells = prep(ell, maps, stencils)
     sync(state.inv96[0, 0, :1])
-    prepare_s = float("inf")
+    t_one = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         state, ells = prep(ell, maps, stencils)
         sync(state.inv96[0, 0, :1])
-        prepare_s = min(prepare_s, time.perf_counter() - t0)
+        t_one = min(t_one, time.perf_counter() - t0)
+    s1, s2 = prep2(ell, maps, stencils)
+    sync(s2.inv96[0, 0, :1])
+    t_two = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s1, s2 = prep2(ell, maps, stencils)
+        sync(s2.inv96[0, 0, :1])
+        t_two = min(t_two, time.perf_counter() - t0)
+    prepare_s = max(t_two - t_one, 1e-9)  # in-jit prepare, dispatch cancelled
+    dispatch_s = max(t_one - prepare_s, 0.0)
     b_sorted = jnp.take(b, state.sorted_to_orig, axis=0)
 
     # ---- iteration throughput: k fused PCG iterations --------------------
@@ -228,6 +249,7 @@ def main():
                 "num_verts": n,
                 "iter_ms": round(iter_s * 1e3, 4),
                 "prepare_ms": round(prepare_s * 1e3, 2),
+                "dispatch_ms": round(dispatch_s * 1e3, 2),
                 "schwarz_iters": int(rs.iterations),
                 "jacobi_iters": int(rj.iterations),
                 "schwarz_solve_ms": round(t_schwarz * 1e3, 2),

@@ -130,6 +130,23 @@ class ClothSim:
         _, _, self._spring_of_slot = cloth_model.ell_structure_from_springs(
             mesh.num_verts, mesh.springs
         )
+        # Grid fast path: analytic tile-Morton ordering (domain quality
+        # follows CONNECTIVITY, which is static for a grid, so the order
+        # never needs re-sorting) + stencil-form SpMV in the PCG loop with
+        # transform-based order crossings in the apply.
+        from ..utils import gridmorton as gm
+
+        self._gmk = None
+        if mesh.grid is not None and gm.supported(*mesh.grid):
+            self._gmk = mesh.grid[0].bit_length() - 1
+            from ..solver import SortMaps
+
+            s2o, o2s = gm.sort_maps(self._gmk)
+            self._grid_maps = SortMaps(jnp.asarray(s2o), jnp.asarray(o2s))
+            self._stencil_offsets, ks = cloth_model.stencil_structure_from_springs(
+                mesh.grid[0], mesh.grid[1], mesh.springs, mesh.stiffness
+            )
+            self._stencil_ks = jnp.asarray(ks)
         self.state = SimState(
             positions=jnp.asarray(mesh.positions),
             velocities=jnp.zeros((mesh.num_verts, 3), jnp.float32),
@@ -154,6 +171,11 @@ class ClothSim:
         m_dt2 = self.mesh.mass / dt**2
         tol, max_iters = self.tol, self.max_iters
         collide = self.collide
+        gmk = self._gmk
+        grid_shape = self.mesh.grid
+        st_offsets = self._stencil_offsets if gmk is not None else None
+        st_ks = self._stencil_ks if gmk is not None else None
+        from ..ops import gridstencil
         c_thresh, c_stiff, c_budget = (
             self.collision_threshold, self.collision_stiffness, self.collision_budget
         )
@@ -197,6 +219,13 @@ class ClothSim:
             from ..ops.apply import precondition_sorted
 
             state, ells = prepare_with_system(ell, maps, cfg, stencils)
+            if gmk is not None:
+                ssys = gridstencil.pin_vertices(
+                    cloth_model.update_stencil_blocks(
+                        st_offsets, st_ks, x, m_dt2, grid_shape
+                    ),
+                    pinned, m_dt2,
+                )
 
             # Gauss-Newton rhs around current x with inertia target
             rest = jnp.linalg.norm(
@@ -212,15 +241,30 @@ class ClothSim:
             rhs = m_dt2 * (y - x) + f_int
             rhs = jnp.where(pinned[:, None], 0.0, rhs)
 
-            # Solve in Morton-sorted space: permute rhs once, x back once
-            # (drops two N-row gathers per PCG iteration).
-            rhs_sorted = jnp.take(rhs, maps.sorted_to_orig, axis=0)
-            res = pcg(
-                lambda p_: blockcsr.spmv(ells, p_),
-                lambda r_: precondition_sorted(state, r_, cfg),
-                rhs_sorted, tol=tol, max_iters=max_iters,
-            )
-            x_unsorted = jnp.take(res.x, maps.orig_to_sorted, axis=0)
+            if gmk is not None:
+                # grid order with stencil SpMV (zero gathers); the apply
+                # crosses into sorted order via analytic transforms
+                from ..utils import gridmorton as gm
+
+                res = pcg(
+                    lambda p_: gridstencil.spmv(ssys, p_),
+                    lambda r_: gm.morton_to_grid(
+                        precondition_sorted(state, gm.grid_to_morton(r_, gmk), cfg),
+                        gmk,
+                    ),
+                    rhs, tol=tol, max_iters=max_iters,
+                )
+                x_unsorted = res.x
+            else:
+                # Solve in Morton-sorted space: permute rhs once, x back
+                # once (drops two N-row gathers per PCG iteration).
+                rhs_sorted = jnp.take(rhs, maps.sorted_to_orig, axis=0)
+                res = pcg(
+                    lambda p_: blockcsr.spmv(ells, p_),
+                    lambda r_: precondition_sorted(state, r_, cfg),
+                    rhs_sorted, tol=tol, max_iters=max_iters,
+                )
+                x_unsorted = jnp.take(res.x, maps.orig_to_sorted, axis=0)
             dx = jnp.where(pinned[:, None], 0.0, x_unsorted)
             x_new = x + dx
             return x_new, (x_new - x) / dt, res, detect_info
@@ -230,7 +274,12 @@ class ClothSim:
     def step(self) -> SimState:
         """Advance one frame: re-sort on cadence (host), then one dispatch."""
         x, v = self.state.positions, self.state.velocities
-        self.pre.allocate(x)  # refreshes Morton maps on the configured cadence
+        if self._gmk is not None:
+            # analytic grid ordering is topology-derived: never re-sorts
+            self.pre.maps = self._grid_maps
+            self.pre.frame_index += 1
+        else:
+            self.pre.allocate(x)  # refreshes Morton maps on the cadence
         x_new, v_new, res, detect_info = self._step_fn(
             self._ell0, self.pre.maps, self._springs_d, self._stiff_d,
             self._rest_pos, self._sos_d, self._faces_d, self._edges_d,

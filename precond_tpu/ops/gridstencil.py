@@ -76,3 +76,20 @@ def spmv(sys: StencilSystem, x: jnp.ndarray) -> jnp.ndarray:
             "ijn,jn->in", sys.dirs_t[d], w, preferred_element_type=jnp.float32
         )
     return jnp.transpose(yt)
+
+
+def pin_vertices(sys: StencilSystem, pinned: jnp.ndarray, big_diag: float) -> StencilSystem:
+    """Decouple pinned rows/columns, exactly like the ELL path's pinning:
+    zero every direction block with a pinned endpoint, set a big SPD mass
+    diagonal on pinned vertices."""
+    nx, ny = sys.grid
+    pad = max(max(abs(di), abs(dj)) for di, dj in sys.offsets) if sys.offsets else 0
+    pg = jnp.pad(pinned.reshape(nx, ny), ((pad, pad), (pad, pad)))
+    masks = []
+    for di, dj in sys.offsets:
+        src = pg[pad + di : pad + di + nx, pad + dj : pad + dj + ny].reshape(-1)
+        masks.append(~(pinned | src))
+    dirs_t = sys.dirs_t * jnp.stack(masks).astype(sys.dirs_t.dtype)[:, None, None, :]
+    eye = jnp.eye(3, dtype=sys.diag_t.dtype)
+    diag_t = jnp.where(pinned[None, None, :], big_diag * eye[:, :, None], sys.diag_t)
+    return StencilSystem(diag_t, dirs_t, sys.offsets, sys.grid)

@@ -94,3 +94,31 @@ def test_collision_sim_uses_all_three_set_types():
         assert float(sim.last_solve.rel_residual) <= 1e-4
     info = sim.last_detect_info
     assert not bool(info.truncated)
+
+
+def test_grid_fast_path_matches_generic():
+    """The analytic-order stencil fast path and the generic ELL path must
+    integrate to the same trajectory (same matrix, same rhs; only the
+    solver's internal ordering/SpMV differ)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from precond_tpu.config import SchwarzConfig
+    from precond_tpu.models import cloth
+    from precond_tpu.models.simulator import ClothSim
+
+    mesh = cloth.make_grid(16, 16, mass=0.05, dt=1.0 / 60.0,
+                           k_struct=3e3, k_shear=3e3, k_bend=30.0)
+    pinned = np.asarray([0, 15])
+    fast = ClothSim(mesh, SchwarzConfig(), pinned=pinned)
+    assert fast._gmk is not None  # 16x16 qualifies
+    slow = ClothSim(mesh, SchwarzConfig(), pinned=pinned)
+    slow._gmk = None
+    slow._step_fn = slow._build_step()
+    for _ in range(3):
+        sf = fast.step()
+        ss = slow.step()
+    diff = float(jnp.abs(sf.positions - ss.positions).max())
+    scale = float(jnp.abs(ss.positions).max())
+    assert diff < 2e-4 * scale, diff
+    assert np.allclose(np.asarray(sf.positions)[pinned],
+                       np.asarray(mesh.positions)[pinned])
