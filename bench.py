@@ -132,8 +132,12 @@ def main():
     @jax.jit
     def prep2(e, m, s):
         st1, _ = prepare_with_system(e, m, cfg, s)
-        e2 = e._replace(diag=e.diag * (1.0 + 1e-12 * st1.inv96[0, 0, 0]))
-        st2, _ = prepare_with_system(e2, m, cfg, s)
+        # Sequence the second prepare after the first AND hide its inputs
+        # behind an optimization_barrier: a value perturbation on one field
+        # lets XLA CSE every subgraph that doesn't depend on it (hierarchy,
+        # permutes) and the difference would understate prepare.
+        e2, m2, _ = jax.lax.optimization_barrier((e, m, st1.inv96[0, 0, 0]))
+        st2, _ = prepare_with_system(e2, m2, cfg, s)
         return st1, st2
 
     state, ells = prep(ell, maps, stencils)

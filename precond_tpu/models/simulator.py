@@ -174,7 +174,6 @@ class ClothSim:
         gmk = self._gmk
         grid_shape = self.mesh.grid
         st_offsets = self._stencil_offsets if gmk is not None else None
-        st_ks = self._stencil_ks if gmk is not None else None
         from ..ops import gridstencil
         c_thresh, c_stiff, c_budget = (
             self.collision_threshold, self.collision_stiffness, self.collision_budget
@@ -183,7 +182,7 @@ class ClothSim:
 
         @jax.jit
         def step_fn(ell0, maps, springs, stiffness, rest_pos, sos, faces, edges,
-                    pinned, gravity, x, v):
+                    pinned, gravity, st_ks, x, v):
             ell = cloth_model.update_ell_blocks(ell0, springs, stiffness, x, m_dt2, sos)
             # pinned vertices: decouple rows/cols, keep an SPD mass diagonal
             touches = pinned[:, None] | jnp.take(pinned, ell.idx)
@@ -220,6 +219,9 @@ class ClothSim:
 
             state, ells = prepare_with_system(ell, maps, cfg, stencils)
             if gmk is not None:
+                # st_ks is an ARGUMENT (never a closure constant: a [D,nx,ny]
+                # stiffness plane baked into the program blows the remote-
+                # compile size cap at 1M vertices, docs/DESIGN.md §3)
                 ssys = gridstencil.pin_vertices(
                     cloth_model.update_stencil_blocks(
                         st_offsets, st_ks, x, m_dt2, grid_shape
@@ -280,10 +282,11 @@ class ClothSim:
             self.pre.frame_index += 1
         else:
             self.pre.allocate(x)  # refreshes Morton maps on the cadence
+        st_ks = self._stencil_ks if self._gmk is not None else jnp.zeros((), jnp.float32)
         x_new, v_new, res, detect_info = self._step_fn(
             self._ell0, self.pre.maps, self._springs_d, self._stiff_d,
             self._rest_pos, self._sos_d, self._faces_d, self._edges_d,
-            self.pinned, self.gravity, x, v,
+            self.pinned, self.gravity, st_ks, x, v,
         )
         self.state = SimState(positions=x_new, velocities=v_new,
                               step_count=self.state.step_count + 1)

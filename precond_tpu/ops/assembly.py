@@ -23,7 +23,9 @@ implementation that this replaces):
 
 The reference's atomics / per-thread unordered_map diagonal tables become
 one chunked dense row construction per level (bounded VMEM-friendly
-transients) plus one 288-wide row scatter-add per coarse level.
+transients); coarse-level rows are placed by anchored one-hot chain
+reductions (_reduce_rows_to_level) — row scatters remain only for the
+small collision-pair and coarse-additional sets.
 """
 
 from __future__ import annotations

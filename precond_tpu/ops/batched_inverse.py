@@ -110,6 +110,20 @@ def _factor32(app: jnp.ndarray):
     return mf[:, :, p:], d
 
 
+def lower_inverse_blocks(w1s, lblk, mm):
+    """W = L^-1 blockwise: unit-block-lower forward substitution over the
+    3x3 panel grid. Shared by the full-batch panel inverse below and the
+    Pallas kernel (ops/pallas/chol_inverse._panel_kernel) — one place for
+    the recurrence, parameterized over the matmul primitive."""
+    wb = {(0, 0): w1s[0], (1, 1): w1s[1], (2, 2): w1s[2]}
+    wb[(1, 0)] = -mm(w1s[1], mm(lblk[(1, 0)], wb[(0, 0)]))
+    wb[(2, 0)] = -mm(
+        w1s[2], mm(lblk[(2, 0)], wb[(0, 0)]) + mm(lblk[(2, 1)], wb[(1, 0)])
+    )
+    wb[(2, 1)] = -mm(w1s[2], mm(lblk[(2, 1)], wb[(1, 1)]))
+    return wb
+
+
 def invert_spd_blocks_panel(h96: jnp.ndarray) -> jnp.ndarray:
     """[B,96,96] SPD -> symmetric PSD inverses, panel-32 blocked LDL^T.
 
@@ -156,12 +170,7 @@ def _invert_panel_batch(h96: jnp.ndarray) -> jnp.ndarray:
             for q in range(p + 1, NP):
                 lblk[(q, p)] = l21[:, P * (q - p - 1) : P * (q - p), :]
 
-    wb = {(0, 0): w1s[0], (1, 1): w1s[1], (2, 2): w1s[2]}
-    wb[(1, 0)] = -_mm(w1s[1], _mm(lblk[(1, 0)], wb[(0, 0)]))
-    wb[(2, 0)] = -_mm(
-        w1s[2], _mm(lblk[(2, 0)], wb[(0, 0)]) + _mm(lblk[(2, 1)], wb[(1, 0)])
-    )
-    wb[(2, 1)] = -_mm(w1s[2], _mm(lblk[(2, 1)], wb[(1, 1)]))
+    wb = lower_inverse_blocks(w1s, lblk, _mm)
 
     zero = jnp.zeros((b, P, P), jnp.float32)
     rows = []

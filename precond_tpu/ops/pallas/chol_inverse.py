@@ -169,14 +169,10 @@ def _panel_kernel(a_ref, out_ref, aw_ref, wh_ref):
             for q in range(p + 1, 3):
                 lblk[(q, p)] = l21[:, P * (q - p - 1) : P * (q - p), :]
 
-    # W = L^-1 blockwise (unit-block-lower forward substitution)
-    wb = {(0, 0): w1s[0], (1, 1): w1s[1], (2, 2): w1s[2]}
-    wb[(1, 0)] = -_mm(w1s[1], _mm(lblk[(1, 0)], wb[(0, 0)]))
-    wb[(2, 0)] = -_mm(
-        w1s[2],
-        _mm(lblk[(2, 0)], wb[(0, 0)]) + _mm(lblk[(2, 1)], wb[(1, 0)]),
-    )
-    wb[(2, 1)] = -_mm(w1s[2], _mm(lblk[(2, 1)], wb[(1, 1)]))
+    # W = L^-1 blockwise (shared recurrence; MXU matmuls here)
+    from ..batched_inverse import lower_inverse_blocks
+
+    wb = lower_inverse_blocks(w1s, lblk, _mm)
 
     # Wh = D^-1/2 W written into the 96x96 scratch (zeros above diagonal)
     zero = jnp.zeros((g, P, P), jnp.float32)

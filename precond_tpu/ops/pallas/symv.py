@@ -20,48 +20,6 @@ from jax.experimental.pallas import tpu as pltpu
 DOF = 96
 
 
-def _symv_bminor_kernel(inv_ref, rhs_ref, out_ref):
-    # inv_ref: [96, 96, Gb] (f32/bf16), rhs_ref: [96, Gb] f32 -> out [96, Gb]
-    out_ref[:] = jnp.sum(
-        inv_ref[:].astype(jnp.float32) * rhs_ref[:][None, :, :], axis=1
-    )
-
-
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def batched_symv_bminor(
-    invT: jnp.ndarray, rhsT: jnp.ndarray, chunk: int = 256
-) -> jnp.ndarray:
-    """z[i,b] = sum_j invT[i,j,b] * rhsT[j,b] — batch-minor batched matvec.
-
-    invT is the domain-inverse tensor stored [96, 96, B] (B lane-dense:
-    no 96->128 minor padding, so bf16 storage streams at its true byte
-    count; the [B,96,96] einsum form pays 1.33x padding + transposed
-    access). rhsT is [96, B] f32. Returns [96, B] f32.
-    """
-    dof, _, b = invT.shape
-    pad = (-b) % chunk
-    if pad:
-        invT = jnp.pad(invT, ((0, 0), (0, 0), (0, pad)))
-        rhsT = jnp.pad(rhsT, ((0, 0), (0, pad)))
-    bp = b + pad
-    out = pl.pallas_call(
-        _symv_bminor_kernel,
-        grid=(bp // chunk,),
-        in_specs=[
-            pl.BlockSpec((dof, dof, chunk), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dof, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((dof, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((dof, bp), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * bp * dof * dof,
-            bytes_accessed=invT.dtype.itemsize * bp * dof * dof + 8 * bp * dof,
-            transcendentals=0,
-        ),
-    )(invT, rhsT)
-    return out[:, :b]
-
-
 def _symv_kernel(inv_ref, rhs_ref, out_ref):
     # inv_ref: [G, 96, 96], rhs_ref: [G, 96] -> out_ref: [G, 96]
     prod = inv_ref[:] * rhs_ref[:][:, None, :]
