@@ -213,7 +213,7 @@ def main():
     solve_schwarz = jax.jit(
         lambda e, st, b: pcg(lambda v: spmv_fn(e, v),
                              lambda r: pre_op(st, r), b,
-                             tol=1e-4, max_iters=2000)
+                             tol=1e-4, max_iters=2000, check_every=8)
     )
     # Jacobi gets the SAME (fastest available) SpMV — it benchmarks the
     # preconditioner, not the matrix representation.
@@ -221,7 +221,7 @@ def main():
     solve_jacobi = jax.jit(
         lambda e, dinv, b: pcg(lambda v: spmv_fn(e, v),
                                lambda r: jnp.einsum("nij,nj->ni", dinv, r), b,
-                               tol=1e-4, max_iters=20000)
+                               tol=1e-4, max_iters=20000, check_every=8)
     )
     dinv = jnp.linalg.inv(ell.diag)
 

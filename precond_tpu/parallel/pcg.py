@@ -33,11 +33,18 @@ def pcg(
     tol: float = 1e-4,
     max_iters: int = 1000,
     reduce_sum: Callable[[jnp.ndarray], jnp.ndarray] = _identity_reduce,
+    check_every: int = 1,
 ) -> PcgResult:
     """Solve H x = b to ||r|| <= tol * ||b|| (the BASELINE.md criterion).
 
     spmv/precond map f32[N,3] -> f32[N,3]. reduce_sum reduces a local scalar
     across devices (jax.lax.psum inside shard_map; identity otherwise).
+
+    check_every > 1 tests convergence only every that many iterations
+    (runs up to check_every-1 past tolerance — harmless for CG): a
+    while_loop with an every-iteration predicate defeats XLA's cross-
+    iteration software pipelining of the apply's async operand prefetch,
+    while a fixed inner fori block pipelines fully.
     """
 
     def dot(u, v):
@@ -55,7 +62,7 @@ def pcg(
         _, r, _, _, _, it = carry
         return (dot(r, r) > tol2) & (it < max_iters)
 
-    def body(carry):
+    def one(carry):
         x, r, p, z, rz, it = carry
         q = spmv(p)
         alpha = rz / dot(p, q)
@@ -66,6 +73,10 @@ def pcg(
         beta = rz_new / rz
         p = z + beta * p
         return (x, r, p, z, rz_new, it + 1)
+
+    body = one if check_every <= 1 else (
+        lambda carry: jax.lax.fori_loop(0, check_every, lambda _, c: one(c), carry)
+    )
 
     x, r, p, z, rz, it = jax.lax.while_loop(cond, body, (x, r, p, z, rz, jnp.asarray(0)))
     rel = jnp.sqrt(dot(r, r) / jnp.maximum(b2, 1e-30))
