@@ -1,0 +1,95 @@
+"""Static-transfer preconditioner apply for structured power-of-two grids.
+
+With the analytic tile ordering (utils/gridmorton.py) on a connected
+2^k x 2^k grid, every 32-node bank at EVERY level is one connected
+cluster: a fine bank is an 8x4 grid tile (struct springs connect it) and
+each coarser bank covers a contiguous rectangle of tiles (the rank bit
+interleave nests dyadic rectangles). Clustering therefore assigns level-l
+node j the parent j//32, i.e. going_next is an arithmetic progression and
+the transfer operators need NO index arrays at all:
+
+  restriction  (BuildResidualHierarchy, cpp:1548-1598)  = per-level
+      reshape-sum over 32 lanes (+ zero-pad to the level capacity);
+  prolongation (CollectFinalZ, cpp:1698-1719)           = per-level
+      broadcast of the parent z (repeat by 32).
+
+Both are pure streaming ops that fuse into the batched symv, removing the
+one-hot transfer operators' 32x read amplification (~0.5 ms/iteration at
+65k on v5e). The general hierarchy (ops/hierarchy.py) remains the path
+for unstructured meshes and for grids with collision stencils (contact
+coupling changes clustering). tests/test_gridprep.py verifies that the
+general builder produces exactly this hierarchy on grid meshes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import SchwarzConfig
+from .batched_inverse import apply_block_inverse
+from .hierarchy import BANK
+
+
+def grid_level_sizes(n: int, cfg: SchwarzConfig) -> tuple:
+    """Active node count per level: n / 32^l (exact powers of two)."""
+    assert n % BANK == 0
+    sizes = [n]
+    for _ in range(1, cfg.num_levels(n)):
+        sizes.append(max(sizes[-1] // BANK, 1))
+    return tuple(sizes)
+
+
+def grid_going_next(n: int, cfg: SchwarzConfig) -> jnp.ndarray:
+    """The analytic hierarchy's parent map (for oracle tests / halo path)."""
+    levels = cfg.num_levels(n)
+    offs = cfg.level_offsets(n)
+    sizes = grid_level_sizes(n, cfg)
+    total = offs[-1]
+    gn = jnp.full((total + 1,), total, jnp.int32)
+    for l in range(levels - 1):
+        j = jnp.arange(offs[l + 1] - offs[l], dtype=jnp.int32)
+        parents = jnp.where(j < sizes[l], offs[l + 1] + j // BANK, total)
+        gn = gn.at[offs[l] : offs[l + 1]].set(parents)
+    return gn
+
+
+def restrict_residual_grid(
+    r_sorted: jnp.ndarray, cfg: SchwarzConfig, n: int
+) -> jnp.ndarray:
+    """f32[N,3] (tile order) -> f32[total,3]: per-level reshape-sums."""
+    offs = cfg.level_offsets(n)
+    levels = cfg.num_levels(n)
+    parts = [r_sorted]
+    cur = r_sorted
+    for l in range(levels - 1):
+        s = cur.reshape(-1, BANK, 3).sum(axis=1)        # [caps[l]/32, 3]
+        cap_next = offs[l + 2] - offs[l + 1]
+        cur = jnp.pad(s, ((0, cap_next - s.shape[0]), (0, 0)))
+        parts.append(cur)
+    return jnp.concatenate(parts, axis=0)
+
+
+def prolong_and_collect_grid(
+    mz: jnp.ndarray, cfg: SchwarzConfig, n: int
+) -> jnp.ndarray:
+    """Additive multi-level sum: top-down parent broadcasts. [total,3]->[N,3]."""
+    offs = cfg.level_offsets(n)
+    levels = cfg.num_levels(n)
+    top = min(levels, cfg.max_applied_levels)
+    pz = mz[offs[top - 1] : offs[top]]
+    for l in range(top - 2, -1, -1):
+        cur = mz[offs[l] : offs[l + 1]]
+        nbanks = (offs[l + 1] - offs[l]) // BANK
+        par = jnp.repeat(pz[:nbanks], BANK, axis=0)
+        pz = cur + par
+    return pz[:n]
+
+
+def precondition_grid(
+    inv96: jnp.ndarray, r_sorted: jnp.ndarray, cfg: SchwarzConfig
+) -> jnp.ndarray:
+    """z = M^-1 r in tile order, static transfers. f32[N,3] -> f32[N,3]."""
+    n = r_sorted.shape[0]
+    mr = restrict_residual_grid(r_sorted, cfg, n)
+    z96 = apply_block_inverse(inv96, mr.reshape(-1, 3 * BANK))
+    return prolong_and_collect_grid(z96.reshape(-1, 3), cfg, n)

@@ -1,0 +1,64 @@
+"""Structured-grid fast-path oracle tests.
+
+Validate the claim ops/gridapply.py rests on — the general hierarchy
+builder (ops/hierarchy.py) produces EXACTLY the arithmetic-progression
+hierarchy on tile-ordered grid meshes (every bank at every level is one
+connected cluster) — and that the static-transfer apply matches the
+general one-hot apply bit-for-tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from precond_tpu.config import SchwarzConfig
+from precond_tpu.models import cloth
+from precond_tpu.ops.apply import precondition_sorted
+from precond_tpu.ops.gridapply import (
+    grid_going_next,
+    grid_level_sizes,
+    precondition_grid,
+)
+from precond_tpu.solver import SortMaps, prepare_with_system
+from precond_tpu.utils import gridmorton as gm
+
+
+def _grid_state(k: int, cfg: SchwarzConfig):
+    grid = 1 << k
+    mesh = cloth.make_grid(grid, grid, z_wave=0.02, mass=0.001, dt=1.0 / 60.0)
+    ell = cloth.assemble_system(mesh)
+    s2o, o2s = gm.sort_maps(k)
+    maps = SortMaps(jnp.asarray(s2o), jnp.asarray(o2s))
+    state, ells = jax.jit(
+        lambda e, m: prepare_with_system(e, m, cfg, None), static_argnums=()
+    )(ell, maps)
+    return mesh, state, ells
+
+
+@pytest.mark.parametrize("k", [3, 5, 6])
+def test_general_hierarchy_is_arithmetic_on_grids(k):
+    cfg = SchwarzConfig()
+    mesh, state, _ = _grid_state(k, cfg)
+    n = mesh.num_verts
+    assert not bool(state.overflow)
+    np.testing.assert_array_equal(
+        np.asarray(state.going_next), np.asarray(grid_going_next(n, cfg))
+    )
+    sizes = grid_level_sizes(n, cfg)
+    assert sizes[0] == n and all(
+        sizes[l + 1] == max(sizes[l] // 32, 1) for l in range(len(sizes) - 1)
+    )
+
+
+@pytest.mark.parametrize("k", [5, 6])
+def test_grid_apply_matches_general(k):
+    cfg = SchwarzConfig()
+    mesh, state, _ = _grid_state(k, cfg)
+    n = mesh.num_verts
+    rng = np.random.default_rng(1)
+    r = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    z_gen = np.asarray(precondition_sorted(state, r, cfg))
+    z_grid = np.asarray(precondition_grid(state.inv96, r, cfg))
+    scale = np.abs(z_gen).max()
+    np.testing.assert_allclose(z_grid, z_gen, rtol=1e-5, atol=1e-6 * scale)
