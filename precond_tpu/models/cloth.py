@@ -241,16 +241,15 @@ def stencil_structure_from_springs(nx: int, ny: int, springs: np.ndarray,
     return tuple(keys), ks
 
 
-def update_stencil_blocks(offsets, ks: jnp.ndarray, positions: jnp.ndarray,
+def _stencil_block_fields(offsets, ks: jnp.ndarray, positions: jnp.ndarray,
                           mass_over_dt2: float, grid):
-    """Jittable stencil refresh: positions -> StencilSystem. Gather-free.
+    """Shared block computation: positions -> (diag [n,3,3], dirs list of
+    [n,3,3] row-major, full_offsets). Gather-free.
 
     Per canonical direction: window-slice the endpoint positions, form the
     Gauss-Newton block k d̂ d̂ᵀ per spring, pad it into both endpoints'
     direction planes (negated off-diagonal), and accumulate the diagonal.
     """
-    from ..ops.gridstencil import StencilSystem
-
     nx, ny = grid
     n = nx * ny
     pos = positions.reshape(nx, ny, 3)
@@ -277,6 +276,19 @@ def update_stencil_blocks(offsets, ks: jnp.ndarray, positions: jnp.ndarray,
         full_offsets.append((di, dj))
         dirs.append(-at_b.reshape(n, 3, 3))
         full_offsets.append((-di, -dj))
+    return diag.reshape(n, 3, 3), dirs, tuple(full_offsets)
+
+
+def update_stencil_blocks(offsets, ks: jnp.ndarray, positions: jnp.ndarray,
+                          mass_over_dt2: float, grid):
+    """Jittable stencil refresh: positions -> StencilSystem."""
+    from ..ops.gridstencil import StencilSystem
+
+    nx, ny = grid
+    n = nx * ny
+    diag, dirs, full_offsets = _stencil_block_fields(
+        offsets, ks, positions, mass_over_dt2, grid
+    )
     # vertex-minor storage: the layout the SpMV contraction wants (see
     # ops/gridstencil.py) — one assembly-time transpose instead of a
     # per-PCG-iteration relayout copy of the whole block array.
@@ -287,7 +299,35 @@ def update_stencil_blocks(offsets, ks: jnp.ndarray, positions: jnp.ndarray,
     )
 
 
+def update_grid_blocks(offsets, ks: jnp.ndarray, positions: jnp.ndarray,
+                       mass_over_dt2: float, grid):
+    """Jittable refresh of ROW-MAJOR blocks for the static grid assembly
+    (ops/gridassembly.py): (diag f32[N,3,3], dirs f32[D,N,3,3], offsets)."""
+    diag, dirs, _ = _stencil_block_fields(
+        offsets, ks, positions, mass_over_dt2, grid
+    )
+    return diag, jnp.stack(dirs)
+
+
 _update_stencil_jit = jax.jit(update_stencil_blocks, static_argnames=("offsets", "grid"))
+_update_grid_jit = jax.jit(update_grid_blocks, static_argnames=("offsets", "grid"))
+
+
+def assemble_system_grid(mesh: ClothMesh, positions: np.ndarray | None = None):
+    """Row-major per-direction blocks for the static grid assembly.
+
+    Returns (diag f32[N,3,3], dirs f32[D,N,3,3], full_offsets) — the same
+    physics as assemble_system_stencil in the layout ops/gridassembly.py
+    consumes (the prepare phase; the StencilSystem's vertex-minor layout
+    is what the SpMV wants)."""
+    assert mesh.grid is not None, "grid assembly needs a grid mesh"
+    nx, ny = mesh.grid
+    offsets, ks = stencil_structure_from_springs(nx, ny, mesh.springs, mesh.stiffness)
+    pos = jnp.asarray(mesh.positions if positions is None else positions)
+    full_offsets = tuple(o for di, dj in offsets for o in ((di, dj), (-di, -dj)))
+    diag, dirs = _update_grid_jit(offsets, jnp.asarray(ks), pos,
+                                  mesh.mass / mesh.dt**2, (nx, ny))
+    return diag, dirs, full_offsets
 
 
 def assemble_system_stencil(mesh: ClothMesh, positions: np.ndarray | None = None):

@@ -105,6 +105,38 @@ def prepare_with_system(
 _restriction_operators = hi.restriction_operators
 
 
+@functools.partial(jax.jit, static_argnames=("offsets", "k", "cfg"))
+def prepare_grid(
+    diag_rows: jnp.ndarray,   # f32[N,3,3] grid vertex order
+    dirs_rows: jnp.ndarray,   # f32[D,N,3,3] grid order
+    offsets,                  # static tuple of (di, dj)
+    k: int,
+    cfg: SchwarzConfig,
+) -> jnp.ndarray:
+    """Structured-grid prepare: static assembly + factorization -> inv96.
+
+    For tile-ordered power-of-two grids the hierarchy is arithmetic
+    (ops/gridapply.py) and assembly is scatter-free static placement
+    (ops/gridassembly.py), so prepare needs no Morton sort, no ELL
+    permutation, and no hierarchy build — the whole phase is the banked
+    assembly plus the panel LDLᵀ inverse. Apply with
+    ops.gridapply.precondition_grid. Collision stencils change clustering
+    and must use the general prepare_with_system path.
+    """
+    from .ops.gridassembly import assemble_grid_hessian
+
+    h96 = assemble_grid_hessian(diag_rows, dirs_rows, offsets, k, cfg)
+    if cfg.inverse_kernel == "pallas" and jax.default_backend() != "cpu":
+        from .ops.pallas.chol_inverse import invert_spd_blocks_chol
+
+        inv96 = invert_spd_blocks_chol(h96, group=cfg.pallas_inverse_group)
+    elif cfg.inverse_kernel == "xla":
+        inv96 = invert_spd_blocks(h96)
+    else:
+        inv96 = invert_spd_blocks_panel(h96)
+    return inv96.astype(jnp.dtype(cfg.inverse_dtype))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def prepare_preconditioner(
     ell: BlockEll,

@@ -51,6 +51,74 @@ def test_general_hierarchy_is_arithmetic_on_grids(k):
     )
 
 
+@pytest.mark.parametrize("k", [3, 5, 6])
+def test_grid_assembly_matches_general(k):
+    from precond_tpu.ops.assembly import assemble_banked_hessian
+    from precond_tpu.ops.gridassembly import assemble_grid_hessian
+    from precond_tpu.ops import hierarchy as hi
+    from precond_tpu.ops.blockcsr import permute
+
+    cfg = SchwarzConfig()
+    grid = 1 << k
+    mesh = cloth.make_grid(grid, grid, z_wave=0.02, mass=0.001, dt=1.0 / 60.0)
+    n = mesh.num_verts
+    ell = cloth.assemble_system(mesh)
+    s2o, o2s = gm.sort_maps(k)
+    maps = SortMaps(jnp.asarray(s2o), jnp.asarray(o2s))
+    ells = jax.jit(lambda e, m: permute(e, m.sorted_to_orig, m.orig_to_sorted))(ell, maps)
+    hier = jax.jit(lambda i, m: hi.build_hierarchy(i, m, cfg, None))(ells.idx, ells.mask)
+    h_gen = np.asarray(
+        jax.jit(lambda e, h: assemble_banked_hessian(e, h, cfg, None))(ells, hier)
+    )
+
+    diag_rows, dirs_rows, offsets = cloth.assemble_system_grid(mesh)
+    h_grid = np.asarray(
+        jax.jit(
+            lambda dg, dr: assemble_grid_hessian(dg, dr, offsets, k, cfg)
+        )(diag_rows, dirs_rows)
+    )
+    scale = np.abs(h_gen).max()
+    np.testing.assert_allclose(h_grid, h_gen, rtol=1e-5, atol=1e-5 * scale)
+
+
+@pytest.mark.parametrize("k", [5, 6])
+def test_grid_prepare_solves(k):
+    """prepare_grid + precondition_grid drive a PCG solve to tolerance and
+    produce the same iteration count as the general path."""
+    from precond_tpu.ops import gridstencil
+    from precond_tpu.parallel.pcg import pcg
+    from precond_tpu.solver import prepare_grid
+
+    cfg = SchwarzConfig()
+    grid = 1 << k
+    mesh = cloth.make_grid(grid, grid, z_wave=0.02, mass=0.001, dt=1.0 / 60.0)
+    n = mesh.num_verts
+    ssys = cloth.assemble_system_stencil(mesh)
+    diag_rows, dirs_rows, offsets = cloth.assemble_system_grid(mesh)
+    inv96 = jax.jit(
+        lambda dg, dr: prepare_grid(dg, dr, offsets, k, cfg)
+    )(diag_rows, dirs_rows)
+
+    _, state, _ = _grid_state(k, cfg)
+    np.testing.assert_allclose(
+        np.asarray(inv96), np.asarray(state.inv96), rtol=2e-4, atol=1e-5
+    )
+
+    rng = np.random.default_rng(2)
+    b = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+
+    def pre_op(r):
+        rs = gm.grid_to_morton(r, k)
+        return gm.morton_to_grid(precondition_grid(inv96, rs, cfg), k)
+
+    res = jax.jit(
+        lambda b: pcg(lambda v: gridstencil.spmv(ssys, v), pre_op, b,
+                      tol=1e-4, max_iters=500)
+    )(b)
+    assert float(res.rel_residual) <= 1e-4 * 1.01
+    assert int(res.iterations) < 200
+
+
 @pytest.mark.parametrize("k", [5, 6])
 def test_grid_apply_matches_general(k):
     cfg = SchwarzConfig()
