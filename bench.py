@@ -34,8 +34,9 @@ def main():
     from precond_tpu.models import cloth
     from precond_tpu.ops import blockcsr, gridstencil
     from precond_tpu.ops.apply import precondition, precondition_sorted
+    from precond_tpu.ops.gridapply import precondition_grid
     from precond_tpu.parallel.pcg import jacobi_preconditioner, pcg
-    from precond_tpu.solver import compute_sort_maps, prepare_with_system
+    from precond_tpu.solver import compute_sort_maps, prepare_grid, prepare_with_system
 
     config = os.environ.get("BENCH_CONFIG", "cloth")  # cloth | tet | collide
     grid = int(os.environ.get("BENCH_GRID", "256"))
@@ -98,12 +99,16 @@ def main():
     # permute gathers (~8.8 ms at 1M).
     ssys = None
     gmk = None
+    gridblocks = None
     if config == "cloth" and os.environ.get("BENCH_STENCIL", "1") != "0":
         from precond_tpu.utils import gridmorton as gm
 
         ssys = cloth.assemble_system_stencil(mesh)
         if gm.supported(grid, grid) and os.environ.get("BENCH_GRIDMORTON", "1") != "0":
             gmk = grid.bit_length() - 1
+            if os.environ.get("BENCH_GRIDPREP", "1") != "0":
+                # static-pattern grid prepare (no sort/permute/hierarchy)
+                gridblocks = cloth.assemble_system_grid(mesh)
     if gmk is not None:
         from precond_tpu.solver import SortMaps
 
@@ -127,38 +132,71 @@ def main():
     # CSE can't collapse them) and difference them; min-of-3 each. The
     # sync is a SCALAR fetch — fetching a whole array would drag ~100MB
     # through the tunnel and pollute the timing by seconds.
-    prep = jax.jit(lambda e, m, s: prepare_with_system(e, m, cfg, s))
+    if gridblocks is not None:
+        dgr, drr, goffsets = gridblocks
 
-    @jax.jit
-    def prep2(e, m, s):
-        st1, _ = prepare_with_system(e, m, cfg, s)
-        # Sequence the second prepare after the first AND hide its inputs
-        # behind an optimization_barrier: a value perturbation on one field
-        # lets XLA CSE every subgraph that doesn't depend on it (hierarchy,
-        # permutes) and the difference would understate prepare.
-        e2, m2, _ = jax.lax.optimization_barrier((e, m, st1.inv96[0, 0, 0]))
-        st2, _ = prepare_with_system(e2, m2, cfg, s)
-        return st1, st2
+        def prep_one(dg, dr):
+            return prepare_grid(dg, dr, goffsets, gmk, cfg)
 
-    state, ells = prep(ell, maps, stencils)
-    sync(state.inv96[0, 0, :1])
+        def prep_two(dg, dr):
+            i1 = prepare_grid(dg, dr, goffsets, gmk, cfg)
+            # Sequence the second prepare after the first AND hide its
+            # inputs behind an optimization_barrier so XLA cannot CSE the
+            # two copies (see the general path below).
+            dg2, dr2, _ = jax.lax.optimization_barrier((dg, dr, i1[0, 0, 0]))
+            return i1, prepare_grid(dg2, dr2, goffsets, gmk, cfg)
+
+        prep = jax.jit(prep_one)
+        prep2 = jax.jit(prep_two)
+        prep_args = (dgr, drr)
+        inv_of = lambda out: out  # noqa: E731
+        inv2_of = lambda out: out[1]  # noqa: E731
+    else:
+        def prep_one(e, m, s):
+            return prepare_with_system(e, m, cfg, s)
+
+        def prep_two(e, m, s):
+            st1, _ = prepare_with_system(e, m, cfg, s)
+            # Sequence the second prepare after the first AND hide its
+            # inputs behind an optimization_barrier: a value perturbation
+            # on one field lets XLA CSE every subgraph that doesn't depend
+            # on it (hierarchy, permutes) and the difference would
+            # understate prepare.
+            e2, m2, _ = jax.lax.optimization_barrier((e, m, st1.inv96[0, 0, 0]))
+            st2, _ = prepare_with_system(e2, m2, cfg, s)
+            return st1, st2
+
+        prep = jax.jit(prep_one)
+        prep2 = jax.jit(prep_two)
+        prep_args = (ell, maps, stencils)
+        inv_of = lambda out: out[0].inv96  # noqa: E731
+        inv2_of = lambda out: out[1].inv96  # noqa: E731
+
+    out = prep(*prep_args)
+    sync(inv_of(out)[0, 0, :1])
     t_one = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        state, ells = prep(ell, maps, stencils)
-        sync(state.inv96[0, 0, :1])
+        out = prep(*prep_args)
+        sync(inv_of(out)[0, 0, :1])
         t_one = min(t_one, time.perf_counter() - t0)
-    s1, s2 = prep2(ell, maps, stencils)
-    sync(s2.inv96[0, 0, :1])
+    o2 = prep2(*prep_args)
+    sync(inv2_of(o2)[0, 0, :1])
     t_two = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        s1, s2 = prep2(ell, maps, stencils)
-        sync(s2.inv96[0, 0, :1])
+        o2 = prep2(*prep_args)
+        sync(inv2_of(o2)[0, 0, :1])
         t_two = min(t_two, time.perf_counter() - t0)
     prepare_s = max(t_two - t_one, 1e-9)  # in-jit prepare, dispatch cancelled
     dispatch_s = max(t_one - prepare_s, 0.0)
-    b_sorted = jnp.take(b, state.sorted_to_orig, axis=0)
+    if gridblocks is not None:
+        inv96 = out
+        state, ells, b_sorted = None, None, None
+    else:
+        state, ells = out
+        inv96 = state.inv96
+        b_sorted = jnp.take(b, state.sorted_to_orig, axis=0)
 
     # ---- iteration throughput: k fused PCG iterations --------------------
     # NOTE: big arrays must be jit ARGUMENTS, not closures — closed-over
@@ -167,7 +205,15 @@ def main():
     # Whole solve lives in Morton-sorted space (b permuted once above):
     # drops the two N-row permute gathers per iteration that the
     # original-order precondition() pays, and makes SpMV gathers local.
-    if ssys is not None and gmk is not None:
+    if gridblocks is not None:
+        # grid-order solve; grid<->Morton crossings are reshape/transposes;
+        # static-transfer apply (state is just inv96)
+        def pre_op(st, r):
+            rs = gm.grid_to_morton(r, gmk)
+            return gm.morton_to_grid(precondition_grid(st, rs, cfg), gmk)
+
+        spmv_op, b_iter, state = ssys, b, inv96
+    elif ssys is not None and gmk is not None:
         # grid-order solve; grid<->Morton crossings are reshape/transposes
         def pre_op(st, r):
             rs = gm.grid_to_morton(r, gmk)
@@ -204,7 +250,7 @@ def main():
     iter_s = (time.perf_counter() - t0) / iters
 
     nnz_spmv = int(9 * (n + int(np.asarray(ell.mask).sum())))
-    nblocks = state.inv96.shape[0]
+    nblocks = inv96.shape[0]
     nnz_apply = int(nblocks * 96 * 96)
     nnz_per_iter = nnz_spmv + nnz_apply
     nnz_per_s = nnz_per_iter / iter_s
