@@ -183,14 +183,19 @@ class ClothSim:
         @jax.jit
         def step_fn(ell0, maps, springs, stiffness, rest_pos, sos, faces, edges,
                     pinned, gravity, st_ks, x, v):
-            ell = cloth_model.update_ell_blocks(ell0, springs, stiffness, x, m_dt2, sos)
-            # pinned vertices: decouple rows/cols, keep an SPD mass diagonal
-            touches = pinned[:, None] | jnp.take(pinned, ell.idx)
-            big = m_dt2 * jnp.eye(3, dtype=jnp.float32)
-            ell = ell._replace(
-                blocks=jnp.where(touches[:, :, None, None], 0.0, ell.blocks),
-                diag=jnp.where(pinned[:, None, None], big, ell.diag),
-            )
+            ell = None
+            if gmk is None or collide:
+                # the grid no-collision path never touches the ELL form
+                ell = cloth_model.update_ell_blocks(
+                    ell0, springs, stiffness, x, m_dt2, sos
+                )
+                # pinned vertices: decouple rows/cols, keep SPD mass diagonal
+                touches = pinned[:, None] | jnp.take(pinned, ell.idx)
+                big = m_dt2 * jnp.eye(3, dtype=jnp.float32)
+                ell = ell._replace(
+                    blocks=jnp.where(touches[:, :, None, None], 0.0, ell.blocks),
+                    diag=jnp.where(pinned[:, None, None], big, ell.diag),
+                )
 
             stencils = None
             detect_info = None
@@ -214,10 +219,30 @@ class ClothSim:
                     dropped=i1.dropped + i2.dropped + i3.dropped,
                 )
 
-            from ..solver import prepare_with_system
+            from ..solver import prepare_grid, prepare_with_system
             from ..ops.apply import precondition_sorted
+            from ..ops.gridapply import precondition_grid
+            from ..ops.gridassembly import pin_grid_blocks
 
-            state, ells = prepare_with_system(ell, maps, cfg, stencils)
+            grid_prep = gmk is not None and stencils is None
+            if grid_prep:
+                # Static-pattern grid prepare: no ELL permute, no hierarchy
+                # build (ops/gridapply.py proves the hierarchy is the
+                # arithmetic one). Collision stencils change clustering and
+                # take the general path below.
+                full_off = tuple(
+                    o for di, dj in st_offsets for o in ((di, dj), (-di, -dj))
+                )
+                dgr, drr = cloth_model.update_grid_blocks(
+                    st_offsets, st_ks, x, m_dt2, grid_shape
+                )
+                dgr, drr = pin_grid_blocks(
+                    dgr, drr, full_off, grid_shape, pinned, m_dt2
+                )
+                inv96 = prepare_grid(dgr, drr, full_off, gmk, cfg)
+                state = None
+            else:
+                state, ells = prepare_with_system(ell, maps, cfg, stencils)
             if gmk is not None:
                 # st_ks is an ARGUMENT (never a closure constant: a [D,nx,ny]
                 # stiffness plane baked into the program blows the remote-
@@ -248,12 +273,19 @@ class ClothSim:
                 # crosses into sorted order via analytic transforms
                 from ..utils import gridmorton as gm
 
-                res = pcg(
-                    lambda p_: gridstencil.spmv(ssys, p_),
-                    lambda r_: gm.morton_to_grid(
+                if grid_prep:
+                    pre_op = lambda r_: gm.morton_to_grid(  # noqa: E731
+                        precondition_grid(inv96, gm.grid_to_morton(r_, gmk), cfg),
+                        gmk,
+                    )
+                else:
+                    pre_op = lambda r_: gm.morton_to_grid(  # noqa: E731
                         precondition_sorted(state, gm.grid_to_morton(r_, gmk), cfg),
                         gmk,
-                    ),
+                    )
+                res = pcg(
+                    lambda p_: gridstencil.spmv(ssys, p_),
+                    pre_op,
                     rhs, tol=tol, max_iters=max_iters,
                 )
                 x_unsorted = res.x

@@ -142,6 +142,29 @@ def grid_pattern(k: int, offsets: Tuple[Tuple[int, int], ...], cfg: SchwarzConfi
     return GridPattern(band, lam8, sc8, tuple(offdiag), tuple(sizes), fill)
 
 
+def pin_grid_blocks(
+    diag_rows: jnp.ndarray,
+    dirs_rows: jnp.ndarray,
+    offsets: Tuple[Tuple[int, int], ...],
+    grid: Tuple[int, int],
+    pinned: jnp.ndarray,
+    big_diag: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Row-major twin of gridstencil.pin_vertices: zero every direction
+    block with a pinned endpoint, big SPD mass diagonal on pinned rows."""
+    nx, ny = grid
+    pad = max(max(abs(di), abs(dj)) for di, dj in offsets) if offsets else 0
+    pg = jnp.pad(pinned.reshape(nx, ny), ((pad, pad), (pad, pad)))
+    masks = []
+    for di, dj in offsets:
+        src = pg[pad + di : pad + di + nx, pad + dj : pad + dj + ny].reshape(-1)
+        masks.append(~(pinned | src))
+    dirs = dirs_rows * jnp.stack(masks).astype(dirs_rows.dtype)[:, :, None, None]
+    eye = jnp.eye(3, dtype=diag_rows.dtype)
+    diag = jnp.where(pinned[:, None, None], big_diag * eye[None], diag_rows)
+    return diag, dirs
+
+
 def _place(S: jnp.ndarray, colsel: jnp.ndarray) -> jnp.ndarray:
     """[P,9] block sums + [P,32] column one-hot -> [P,3,32,3] row payloads."""
     return S.reshape(-1, 3, 1, 3) * colsel[:, None, :, None]
