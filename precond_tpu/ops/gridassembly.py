@@ -61,7 +61,7 @@ def grid_pattern(k: int, offsets: Tuple[Tuple[int, int], ...], cfg: SchwarzConfi
     assert gm.supported(side, side)
     levels = cfg.num_levels(n)
     caps = cfg.level_capacities(n)
-    s2o, _ = gm.sort_maps(k)                       # tile slot -> grid vertex
+    s2o, o2s = gm.sort_maps(k)                     # tile slot <-> grid vertex
     gi, gj = s2o // side, s2o % side               # [N] grid coords per slot
     trank = np.arange(n, dtype=np.int64) // BANK   # tile rank per slot
     lane = np.arange(n, dtype=np.int64) % BANK
@@ -80,9 +80,6 @@ def grid_pattern(k: int, offsets: Tuple[Tuple[int, int], ...], cfg: SchwarzConfi
         ui, uj = gi + di, gj + dj
         valid = (ui >= 0) & (ui < side) & (uj >= 0) & (uj < side)
         uic, ujc = np.clip(ui, 0, side - 1), np.clip(uj, 0, side - 1)
-        # o2s of u via s2o inverse would work too; recompute directly:
-        # u's slot = rank(u tile)*32 + in-tile lane.
-        _, o2s = gm.sort_maps(k)
         u_slot = o2s[uic * side + ujc].astype(np.int64)
         tu, lu = u_slot // BANK, u_slot % BANK
 
