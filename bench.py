@@ -103,7 +103,9 @@ def main():
     if config == "cloth" and os.environ.get("BENCH_STENCIL", "1") != "0":
         from precond_tpu.utils import gridmorton as gm
 
-        ssys = cloth.assemble_system_stencil(mesh)
+        ssys = cloth.assemble_system_stencil(
+            mesh, sym=os.environ.get("BENCH_SPMV_SYM", "0") == "1"
+        )
         if gm.supported(grid, grid) and os.environ.get("BENCH_GRIDMORTON", "1") != "0":
             gmk = grid.bit_length() - 1
             if os.environ.get("BENCH_GRIDPREP", "1") != "0":

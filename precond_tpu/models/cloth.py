@@ -280,8 +280,12 @@ def _stencil_block_fields(offsets, ks: jnp.ndarray, positions: jnp.ndarray,
 
 
 def update_stencil_blocks(offsets, ks: jnp.ndarray, positions: jnp.ndarray,
-                          mass_over_dt2: float, grid):
-    """Jittable stencil refresh: positions -> StencilSystem."""
+                          mass_over_dt2: float, grid, sym: bool = False):
+    """Jittable stencil refresh: positions -> StencilSystem.
+
+    sym=True keeps only the canonical half of the direction planes (the
+    symmetric SpMV applies each plane to both endpoints) — half the block
+    memory and half the SpMV's dominant traffic."""
     from ..ops.gridstencil import StencilSystem
 
     nx, ny = grid
@@ -289,13 +293,16 @@ def update_stencil_blocks(offsets, ks: jnp.ndarray, positions: jnp.ndarray,
     diag, dirs, full_offsets = _stencil_block_fields(
         offsets, ks, positions, mass_over_dt2, grid
     )
+    if sym:
+        dirs = dirs[0::2]                 # canonical (+d) planes only
+        full_offsets = full_offsets[0::2]
     # vertex-minor storage: the layout the SpMV contraction wants (see
     # ops/gridstencil.py) — one assembly-time transpose instead of a
     # per-PCG-iteration relayout copy of the whole block array.
     return StencilSystem(
         diag.reshape(n, 9).T.reshape(3, 3, n),
         jnp.stack(dirs).reshape(-1, n, 9).transpose(0, 2, 1).reshape(-1, 3, 3, n),
-        tuple(full_offsets), (nx, ny)
+        tuple(full_offsets), (nx, ny), sym=sym,
     )
 
 
@@ -309,7 +316,9 @@ def update_grid_blocks(offsets, ks: jnp.ndarray, positions: jnp.ndarray,
     return diag, jnp.stack(dirs)
 
 
-_update_stencil_jit = jax.jit(update_stencil_blocks, static_argnames=("offsets", "grid"))
+_update_stencil_jit = jax.jit(
+    update_stencil_blocks, static_argnames=("offsets", "grid", "sym")
+)
 _update_grid_jit = jax.jit(update_grid_blocks, static_argnames=("offsets", "grid"))
 
 
@@ -330,13 +339,14 @@ def assemble_system_grid(mesh: ClothMesh, positions: np.ndarray | None = None):
     return diag, dirs, full_offsets
 
 
-def assemble_system_stencil(mesh: ClothMesh, positions: np.ndarray | None = None):
+def assemble_system_stencil(mesh: ClothMesh, positions: np.ndarray | None = None,
+                            sym: bool = False):
     """Implicit-Euler system as a StencilSystem (structured grids only)."""
     assert mesh.grid is not None, "stencil assembly needs a grid mesh"
     nx, ny = mesh.grid
     offsets, ks = stencil_structure_from_springs(nx, ny, mesh.springs, mesh.stiffness)
     pos = jnp.asarray(mesh.positions if positions is None else positions)
     return _update_stencil_jit(offsets, jnp.asarray(ks), pos,
-                               mesh.mass / mesh.dt**2, (nx, ny))
+                               mesh.mass / mesh.dt**2, (nx, ny), sym)
 
 

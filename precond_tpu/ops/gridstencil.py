@@ -31,14 +31,21 @@ class StencilSystem:
     vertex-minor. ``offsets`` (static) are grid displacements (di, dj);
     ``dirs_t[d,:,:,v]`` is zero where v + offset_d falls off the grid.
     Registered as a pytree with the offsets/shape as static aux data.
+
+    ``sym=True`` stores only the CANONICAL half of the directions (one
+    plane per spring class): each block is symmetric (k d̂ d̂ᵀ) and
+    H[u,v] = H[v,u], so the SpMV can apply a plane to both endpoints —
+    halving the dominant block traffic and the system's memory.
     """
 
     def __init__(self, diag_t: jnp.ndarray, dirs_t: jnp.ndarray,
-                 offsets: Tuple[Tuple[int, int], ...], grid: Tuple[int, int]):
+                 offsets: Tuple[Tuple[int, int], ...], grid: Tuple[int, int],
+                 sym: bool = False):
         self.diag_t = diag_t    # f32[3,3,N]
         self.dirs_t = dirs_t    # f32[D,3,3,N]
         self.offsets = tuple(map(tuple, offsets))
         self.grid = tuple(grid)
+        self.sym = bool(sym)
 
     @property
     def num_verts(self) -> int:
@@ -50,11 +57,11 @@ class StencilSystem:
         return jnp.transpose(self.diag_t, (2, 0, 1))
 
     def tree_flatten(self):
-        return (self.diag_t, self.dirs_t), (self.offsets, self.grid)
+        return (self.diag_t, self.dirs_t), (self.offsets, self.grid, self.sym)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0], aux[1])
+        return cls(children[0], children[1], *aux)
 
 
 jax.tree_util.register_pytree_node(
@@ -70,11 +77,28 @@ def spmv(sys: StencilSystem, x: jnp.ndarray) -> jnp.ndarray:
     xg = xt.reshape(3, nx, ny)
     xp = jnp.pad(xg, ((0, 0), (pad, pad), (pad, pad)))
     yt = jnp.einsum("ijn,jn->in", sys.diag_t, xt, preferred_element_type=jnp.float32)
+    if not sys.sym:
+        for d, (di, dj) in enumerate(sys.offsets):
+            w = xp[:, pad + di : pad + di + nx, pad + dj : pad + dj + ny].reshape(3, -1)
+            yt = yt + jnp.einsum(
+                "ijn,jn->in", sys.dirs_t[d], w, preferred_element_type=jnp.float32
+            )
+        return jnp.transpose(yt)
+    # Symmetric half-storage: per canonical plane S_d (the block of the
+    # spring leaving v toward v+d), apply BOTH couplings from one read:
+    #   y[v]   += S_d[v] . x[v+d]
+    #   y[v+d] += S_d[v] . x[v]   (blocks are symmetric, H[u,v] = H[v,u])
+    # One stacked einsum keeps S_d to a single pass; the second output is
+    # shifted by +d before accumulating (a pad/slice, fused by XLA).
     for d, (di, dj) in enumerate(sys.offsets):
         w = xp[:, pad + di : pad + di + nx, pad + dj : pad + dj + ny].reshape(3, -1)
-        yt = yt + jnp.einsum(
-            "ijn,jn->in", sys.dirs_t[d], w, preferred_element_type=jnp.float32
+        both = jnp.einsum(
+            "ijn,sjn->sin", sys.dirs_t[d], jnp.stack([w, xt]),
+            preferred_element_type=jnp.float32,
         )
+        yt = yt + both[0]
+        tp = jnp.pad(both[1].reshape(3, nx, ny), ((0, 0), (pad, pad), (pad, pad)))
+        yt = yt + tp[:, pad - di : pad - di + nx, pad - dj : pad - dj + ny].reshape(3, -1)
     return jnp.transpose(yt)
 
 
@@ -92,4 +116,4 @@ def pin_vertices(sys: StencilSystem, pinned: jnp.ndarray, big_diag: float) -> St
     dirs_t = sys.dirs_t * jnp.stack(masks).astype(sys.dirs_t.dtype)[:, None, None, :]
     eye = jnp.eye(3, dtype=sys.diag_t.dtype)
     diag_t = jnp.where(pinned[None, None, :], big_diag * eye[:, :, None], sys.diag_t)
-    return StencilSystem(diag_t, dirs_t, sys.offsets, sys.grid)
+    return StencilSystem(diag_t, dirs_t, sys.offsets, sys.grid, sym=sys.sym)
