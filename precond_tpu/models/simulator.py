@@ -184,8 +184,8 @@ class ClothSim:
         def step_fn(ell0, maps, springs, stiffness, rest_pos, sos, faces, edges,
                     pinned, gravity, st_ks, x, v):
             ell = None
-            if gmk is None or collide:
-                # the grid no-collision path never touches the ELL form
+            if gmk is None:
+                # the grid path never touches the ELL form
                 ell = cloth_model.update_ell_blocks(
                     ell0, springs, stiffness, x, m_dt2, sos
                 )
@@ -224,12 +224,14 @@ class ClothSim:
             from ..ops.gridapply import precondition_grid
             from ..ops.gridassembly import pin_grid_blocks
 
-            grid_prep = gmk is not None and stencils is None
+            grid_prep = gmk is not None
             if grid_prep:
                 # Static-pattern grid prepare: no ELL permute, no hierarchy
                 # build (ops/gridapply.py proves the hierarchy is the
-                # arithmetic one). Collision stencils change clustering and
-                # take the general path below.
+                # arithmetic one). Contacts cannot change grid clustering
+                # (every bank is already one fully-merged cluster), so
+                # collision frames ride the same static path with
+                # arithmetic-climb Hessian terms (tests/test_gridprep.py).
                 full_off = tuple(
                     o for di, dj in st_offsets for o in ((di, dj), (-di, -dj))
                 )
@@ -239,7 +241,10 @@ class ClothSim:
                 dgr, drr = pin_grid_blocks(
                     dgr, drr, full_off, grid_shape, pinned, m_dt2
                 )
-                inv96 = prepare_grid(dgr, drr, full_off, gmk, cfg)
+                inv96 = prepare_grid(
+                    dgr, drr, full_off, gmk, cfg,
+                    stencils, maps.orig_to_sorted,
+                )
                 state = None
             else:
                 state, ells = prepare_with_system(ell, maps, cfg, stencils)

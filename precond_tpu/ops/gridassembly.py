@@ -139,6 +139,93 @@ def grid_pattern(k: int, offsets: Tuple[Tuple[int, int], ...], cfg: SchwarzConfi
     return GridPattern(band, lam8, sc8, tuple(offdiag), tuple(sizes), fill)
 
 
+def arith_parent(x: jnp.ndarray, cfg: SchwarzConfig, n: int) -> jnp.ndarray:
+    """going_next as pure arithmetic (the grid hierarchy, no table gather).
+
+    Level-l node j's parent is offs[l+1] + j//32 while j is active; padded
+    and top-level nodes map to the `total` sentinel (ops/gridapply.py)."""
+    from .gridapply import grid_level_sizes
+
+    levels = cfg.num_levels(n)
+    offs = cfg.level_offsets(n)
+    sizes = grid_level_sizes(n, cfg)
+    total = offs[-1]
+    out = jnp.full(x.shape, total, x.dtype)
+    for l in range(levels - 1):
+        j = x - offs[l]
+        ok = (x >= offs[l]) & (x < offs[l + 1]) & (j < sizes[l])
+        out = jnp.where(ok, offs[l + 1] + j // BANK, out)
+    return out
+
+
+def grid_collision_terms(
+    collisions, cfg: SchwarzConfig, n: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Collision contributions on the arithmetic grid hierarchy.
+
+    On a tile-ordered grid every bank is already ONE fully-merged cluster,
+    so stencil-induced connectivity cannot change clustering — the
+    hierarchy stays arithmetic with contacts (tests/test_gridprep.py) and
+    only the Hessian entries move: symmetric pair blocks at the first
+    common bank, parent-diagonal compensation one level up
+    (AdditionalSchwarzHessian2, cpp:1164-1199), w² diagonals along the
+    full ancestor chain (cpp:1201-1252). All climbs are arithmetic.
+
+    Returns (rows f32[total, 288] of sparse row payloads to add after the
+    static assembly, dg_add f32[n, 3, 3] extra fine diagonals to fold into
+    the streaming diagonal before it)."""
+    from .assembly import ROW, _diag_rows, _row_scatter, _scalar_scatter9, _tile288, _YCOL
+
+    levels = cfg.num_levels(n)
+    offs = cfg.level_offsets(n)
+    total = offs[-1]
+
+    addl9 = jnp.zeros((total * 9,), jnp.float32)
+    addl9 = _scalar_scatter9(
+        addl9, collisions.diag_ids, collisions.diag_mat.reshape(-1, 9),
+        collisions.diag_valid, total,
+    )
+
+    # climb both pair endpoints to the first common bank (arithmetic)
+    my, ot = collisions.pair_a, collisions.pair_b
+    lam = jnp.zeros(my.shape, jnp.int32)
+    for _ in range(levels):
+        same = (my // BANK) == (ot // BANK)
+        step = (~same) & (lam < levels)
+        my = jnp.where(step, arith_parent(my, cfg, n), my)
+        ot = jnp.where(step, arith_parent(ot, cfg, n), ot)
+        lam = lam + step.astype(jnp.int32)
+    merged = ((my // BANK) == (ot // BANK)) & (lam < levels) & (my < total)
+    okc = merged & collisions.pair_valid
+
+    hb2 = jnp.zeros((total + 1, ROW), jnp.float32)
+    pm9 = collisions.pair_mat.reshape(-1, 9)
+    ycol = jnp.asarray(_YCOL)
+    pv = _tile288(pm9)
+    hb2 = _row_scatter(hb2, my, pv * ((ot % BANK)[:, None] == ycol), okc, total)
+    hb2 = _row_scatter(hb2, ot, pv * ((my % BANK)[:, None] == ycol), okc, total)
+    # parent diagonal compensation one level further up (cpp:1184-1198)
+    pmy = arith_parent(jnp.minimum(my, total), cfg, n)
+    pot = arith_parent(jnp.minimum(ot, total), cfg, n)
+    ok_up = okc & (pmy < total)
+    addl9 = _scalar_scatter9(addl9, pmy, pm9, ok_up, total)
+    addl9 = _scalar_scatter9(addl9, pot, pm9, ok_up, total)
+
+    # coarse-node additional pushed along the full ancestor chain
+    # (cpp:1236-1252); fine part folds into the streaming diagonal
+    coarse_off = offs[1] if levels > 1 else total
+    if coarse_off < total:
+        ids = jnp.arange(coarse_off, total, dtype=jnp.int32)
+        cmat9 = addl9[coarse_off * 9 : total * 9].reshape(-1, 9)
+        for _ in range(levels):
+            hb2 = _row_scatter(
+                hb2, ids, _diag_rows(cmat9, ids % BANK), ids < total, total
+            )
+            ids = arith_parent(jnp.minimum(ids, total), cfg, n)
+    dg_add = addl9[: n * 9].reshape(n, 3, 3)
+    return hb2[:total], dg_add
+
+
 def pin_grid_blocks(
     diag_rows: jnp.ndarray,
     dirs_rows: jnp.ndarray,
@@ -173,6 +260,7 @@ def assemble_grid_hessian(
     offsets: Tuple[Tuple[int, int], ...],
     k: int,
     cfg: SchwarzConfig,
+    collisions=None,          # Optional CollisionTerms in TILE-order ids
 ) -> jnp.ndarray:
     """All domain Hessians f32[B,96,96]; bit-compatible with the general
     assemble_banked_hessian on grid meshes (tests/test_gridprep.py)."""
@@ -185,6 +273,10 @@ def assemble_grid_hessian(
 
     A = [gm.grid_to_morton(dirs_rows[d].reshape(n, 9), k) for d in range(D)]
     dg = gm.grid_to_morton(diag_rows.reshape(n, 9), k)
+    crows = None
+    if collisions is not None:
+        crows, dg_add = grid_collision_terms(collisions, cfg, n)
+        dg = dg + dg_add.reshape(n, 9)
     lam = jnp.asarray(pat.lam)
     sc = jnp.asarray(pat.sc)
 
@@ -225,6 +317,8 @@ def assemble_grid_hessian(
         parts.append(hm)
 
     h96 = jnp.concatenate(parts, axis=0)
+    if crows is not None:
+        h96 = h96 + crows.reshape(-1, 3 * BANK, 3 * BANK)
     fill = jnp.asarray(pat.fill)
     eye96 = jnp.eye(3 * BANK, dtype=jnp.float32)
     return h96 + eye96[None] * fill[:, :, None]

@@ -112,6 +112,8 @@ def prepare_grid(
     offsets,                  # static tuple of (di, dj)
     k: int,
     cfg: SchwarzConfig,
+    stencils: Optional[Stencils] = None,  # ORIGINAL (grid) vertex ids
+    o2s: Optional[jnp.ndarray] = None,    # grid->tile map (required w/ stencils)
 ) -> jnp.ndarray:
     """Structured-grid prepare: static assembly + factorization -> inv96.
 
@@ -120,12 +122,29 @@ def prepare_grid(
     (ops/gridassembly.py), so prepare needs no Morton sort, no ELL
     permutation, and no hierarchy build — the whole phase is the banked
     assembly plus the panel LDLᵀ inverse. Apply with
-    ops.gridapply.precondition_grid. Collision stencils change clustering
-    and must use the general prepare_with_system path.
+    ops.gridapply.precondition_grid.
+
+    Collision stencils do NOT change clustering here (every grid bank is
+    already one fully-merged cluster, so extra connectivity is absorbed —
+    tests/test_gridprep.py), so contacts ride the same static hierarchy:
+    their Hessian terms are added by arithmetic climbs
+    (ops/gridassembly.grid_collision_terms).
     """
     from .ops.gridassembly import assemble_grid_hessian
 
-    h96 = assemble_grid_hessian(diag_rows, dirs_rows, offsets, k, cfg)
+    terms = None
+    if stencils is not None:
+        assert o2s is not None, "pass the grid->tile map with stencils"
+        n = diag_rows.shape[0]
+        mapped = stencils._replace(
+            idx=jnp.where(
+                stencils.valid[:, None] & (jnp.arange(5) < stencils.nverts[:, None]),
+                jnp.take(o2s, jnp.clip(stencils.idx, 0, n - 1)),
+                0,
+            )
+        )
+        terms = collision_terms(mapped)
+    h96 = assemble_grid_hessian(diag_rows, dirs_rows, offsets, k, cfg, terms)
     if cfg.inverse_kernel == "pallas" and jax.default_backend() != "cpu":
         from .ops.pallas.chol_inverse import invert_spd_blocks_chol
 

@@ -136,3 +136,48 @@ def test_grid_apply_matches_general(k):
     z_grid = np.asarray(precondition_grid(state.inv96, r, cfg))
     scale = np.abs(z_gen).max()
     np.testing.assert_allclose(z_grid, z_gen, rtol=1e-5, atol=1e-6 * scale)
+
+
+@pytest.mark.parametrize("k", [5, 6])
+def test_grid_path_with_collisions_matches_general(k):
+    """Contacts don't change grid clustering (every bank is already one
+    fully-merged cluster), so the static path + arithmetic collision
+    climbs must reproduce the general hierarchy AND assembly exactly."""
+    from precond_tpu.models import collision as coll
+    from precond_tpu.ops.stencils import build_stencils
+    from precond_tpu.solver import prepare_grid
+
+    cfg = SchwarzConfig()
+    grid = 1 << k
+    mesh = cloth.make_grid(grid, grid, z_wave=0.02, mass=0.001, dt=1.0 / 60.0)
+    n = mesh.num_verts
+    # fold the sheet onto itself (still a grid mesh) -> real VF/EE sets
+    p = np.asarray(mesh.positions).copy()
+    fold = p[:, 0] > 0.5
+    p[:, 2] = np.where(fold, 0.006, 0.0)
+    p[:, 0] = np.where(fold, 1.0 - p[:, 0], p[:, 0])
+    pos = jnp.asarray(p)
+    fj, ej = jnp.asarray(mesh.faces), jnp.asarray(mesh.edges)
+    vf, _ = coll.detect_vf_grid(pos, fj, 0.01, 1e3, 4 * grid)
+    ee, _ = coll.detect_ee_grid(pos, ej, 0.01, 1e3, 4 * grid)
+    stencils = build_stencils(ej, fj, ee=ee, vf=vf)
+    assert int(np.asarray(stencils.valid).sum()) > 0, "fixture found no contacts"
+
+    ell = cloth.assemble_system(mesh, positions=p)
+    s2o, o2s = gm.sort_maps(k)
+    maps = SortMaps(jnp.asarray(s2o), jnp.asarray(o2s))
+    state, _ = jax.jit(lambda e, m, s: prepare_with_system(e, m, cfg, s))(
+        ell, maps, stencils
+    )
+    # clustering is unchanged by the contacts
+    np.testing.assert_array_equal(
+        np.asarray(state.going_next), np.asarray(grid_going_next(n, cfg))
+    )
+
+    diag_rows, dirs_rows, offsets = cloth.assemble_system_grid(mesh, positions=p)
+    inv96 = jax.jit(
+        lambda dg, dr, s, o: prepare_grid(dg, dr, offsets, k, cfg, s, o)
+    )(diag_rows, dirs_rows, stencils, jnp.asarray(o2s))
+    np.testing.assert_allclose(
+        np.asarray(inv96), np.asarray(state.inv96), rtol=2e-4, atol=1e-5
+    )
