@@ -51,6 +51,7 @@ def main():
     # ~0.1kg sheet at this resolution), overridable via BENCH_MASS.
     mass = float(os.environ.get("BENCH_MASS", "0.001"))
     stencils = None
+    contact = None
     if config == "tet":
         # deformable tet body (BASELINE.json generality config)
         from precond_tpu.models import tetmesh
@@ -61,31 +62,46 @@ def main():
         ell = tetmesh.assemble_system(tmesh)
         positions = tmesh.positions
     elif config == "collide":
-        # two stacked sheets with active VF/EE/EF stencils in prepare
+        # a folded self-colliding sheet: the overlapped half produces real
+        # VF/EE/EF stencils across the fold gap (0.5 grid spacings, under
+        # the 0.75-spacing threshold; same-side non-neighbors sit >= 2
+        # spacings away so the contact set is the fold, not noise). The
+        # mesh stays a grid, so this config rides the static grid path
+        # with arithmetic-climb collision terms.
         from precond_tpu.models import collision as coll
         from precond_tpu.ops.stencils import build_stencils
 
-        m1 = cloth.make_grid(grid, grid, z_wave=0.0, mass=mass, dt=1.0 / 60.0)
-        n1 = m1.num_verts
-        pos = np.concatenate([m1.positions, m1.positions + [0, 0, 0.01]]).astype(np.float32)
-        faces = np.concatenate([m1.faces, m1.faces + n1]).astype(np.int32)
-        edges = np.concatenate(
-            [m1.edges, np.where(m1.edges >= 0, m1.edges + n1, -1)]
-        ).astype(np.int32)
-        springs = np.concatenate([m1.springs, m1.springs + n1])
-        stiffness = np.concatenate([m1.stiffness, m1.stiffness])
-        mesh = cloth.ClothMesh(pos, edges, faces, springs, stiffness, m1.mass, m1.dt)
+        mesh = cloth.make_grid(grid, grid, z_wave=0.0, mass=mass, dt=1.0 / 60.0)
         n = mesh.num_verts
-        ell = cloth.assemble_system(mesh)
-        positions = pos
-        budget = int(os.environ.get("BENCH_COLLISION_BUDGET", str(8 * n1)))
-        thresh, stiff = 0.012, 1e3
-        pj = jnp.asarray(pos)
-        fj, ej = jnp.asarray(faces), jnp.asarray(edges)
-        vf, _ = coll.detect_vf_grid(pj, fj, thresh, stiff, budget)
-        ee, _ = coll.detect_ee_grid(pj, ej, thresh, stiff, budget)
-        ef, _ = coll.detect_ef_grid(pj, ej, fj, thresh, stiff, budget)
+        h = 1.0 / max(grid - 1, 1)
+        p = np.asarray(mesh.positions).copy()
+        fold = p[:, 0] > 0.5
+        p[:, 2] = np.where(fold, 0.5 * h, 0.0)
+        p[:, 0] = np.where(fold, 1.0 - p[:, 0], p[:, 0]).astype(np.float32)
+        positions = p.astype(np.float32)
+        ell = cloth.assemble_system(mesh, positions=positions)
+        # Representative contact density (~0.75 stencils/vertex across the
+        # fold). Unbudgeted face-to-face overlap stacks ~6 stencils/vertex
+        # of rank-1 penalties — a nearly-constrained degenerate system
+        # where even a contact-tracking M needs 500+ iterations.
+        budget = int(os.environ.get("BENCH_COLLISION_BUDGET", str(n // 4)))
+        cap = int(os.environ.get("BENCH_COLLISION_CAP", "2"))
+        thresh, stiff = 0.75 * h, 1e3
+        pj = jnp.asarray(positions)
+        fj, ej = jnp.asarray(mesh.faces), jnp.asarray(mesh.edges)
+        vf, _ = coll.detect_vf_grid(pj, fj, thresh, stiff, budget, per_vertex_cap=cap)
+        ee, _ = coll.detect_ee_grid(pj, ej, thresh, stiff, budget, per_edge_cap=cap)
+        ef, _ = coll.detect_ef_grid(pj, ej, fj, thresh, stiff, budget, per_edge_cap=cap)
         stencils = build_stencils(ej, fj, ef=ef, ee=ee, vf=vf)
+        # contacts belong IN the system (the reference host's CSR carries
+        # the fill-in; the stencils exist so M can track it) — an M with
+        # terms H lacks is actively harmful (632 vs 448 Jacobi iters).
+        from precond_tpu.ops.contact import build_contact_ell
+
+        kc = int(os.environ.get("BENCH_CONTACT_KC", "32"))
+        contact = jax.jit(
+            lambda s: build_contact_ell(s, n, kc=kc)
+        )(stencils)
     else:
         mesh = cloth.make_grid(grid, grid, z_wave=0.02, mass=mass, dt=1.0 / 60.0)
         n = mesh.num_verts
@@ -100,17 +116,18 @@ def main():
     ssys = None
     gmk = None
     gridblocks = None
-    if config == "cloth" and os.environ.get("BENCH_STENCIL", "1") != "0":
+    if config in ("cloth", "collide") and os.environ.get("BENCH_STENCIL", "1") != "0":
         from precond_tpu.utils import gridmorton as gm
 
         ssys = cloth.assemble_system_stencil(
-            mesh, sym=os.environ.get("BENCH_SPMV_SYM", "0") == "1"
+            mesh, positions=positions,
+            sym=os.environ.get("BENCH_SPMV_SYM", "0") == "1",
         )
         if gm.supported(grid, grid) and os.environ.get("BENCH_GRIDMORTON", "1") != "0":
             gmk = grid.bit_length() - 1
             if os.environ.get("BENCH_GRIDPREP", "1") != "0":
                 # static-pattern grid prepare (no sort/permute/hierarchy)
-                gridblocks = cloth.assemble_system_grid(mesh)
+                gridblocks = cloth.assemble_system_grid(mesh, positions=positions)
     if gmk is not None:
         from precond_tpu.solver import SortMaps
 
@@ -137,20 +154,20 @@ def main():
     if gridblocks is not None:
         dgr, drr, goffsets = gridblocks
 
-        def prep_one(dg, dr):
-            return prepare_grid(dg, dr, goffsets, gmk, cfg)
+        def prep_one(dg, dr, s, o):
+            return prepare_grid(dg, dr, goffsets, gmk, cfg, s, o)
 
-        def prep_two(dg, dr):
-            i1 = prepare_grid(dg, dr, goffsets, gmk, cfg)
+        def prep_two(dg, dr, s, o):
+            i1 = prepare_grid(dg, dr, goffsets, gmk, cfg, s, o)
             # Sequence the second prepare after the first AND hide its
             # inputs behind an optimization_barrier so XLA cannot CSE the
             # two copies (see the general path below).
             dg2, dr2, _ = jax.lax.optimization_barrier((dg, dr, i1[0, 0, 0]))
-            return i1, prepare_grid(dg2, dr2, goffsets, gmk, cfg)
+            return i1, prepare_grid(dg2, dr2, goffsets, gmk, cfg, s, o)
 
         prep = jax.jit(prep_one)
         prep2 = jax.jit(prep_two)
-        prep_args = (dgr, drr)
+        prep_args = (dgr, drr, stencils, maps.orig_to_sorted)
         inv_of = lambda out: out  # noqa: E731
         inv2_of = lambda out: out[1]  # noqa: E731
     else:
@@ -227,7 +244,15 @@ def main():
         spmv_op, pre_op, b_iter = ssys, lambda st, r: precondition(st, r, cfg), b
     else:
         spmv_op, pre_op, b_iter = ells, lambda st, r: precondition_sorted(st, r, cfg), b_sorted
-    spmv_fn = gridstencil.spmv if ssys is not None else blockcsr.spmv
+    if ssys is not None and contact is not None:
+        from precond_tpu.ops.contact import contact_spmv
+
+        spmv_op = (spmv_op, contact)
+
+        def spmv_fn(op, v):
+            return gridstencil.spmv(op[0], v) + contact_spmv(op[1], v)
+    else:
+        spmv_fn = gridstencil.spmv if ssys is not None else blockcsr.spmv
 
     def k_iterations(op, state, b):
         def body(_, carry):
@@ -252,6 +277,8 @@ def main():
     iter_s = (time.perf_counter() - t0) / iters
 
     nnz_spmv = int(9 * (n + int(np.asarray(ell.mask).sum())))
+    if contact is not None:
+        nnz_spmv += int(9 * int(np.asarray(contact.mask).sum()))
     nblocks = inv96.shape[0]
     nnz_apply = int(nblocks * 96 * 96)
     nnz_per_iter = nnz_spmv + nnz_apply
@@ -265,13 +292,15 @@ def main():
     )
     # Jacobi gets the SAME (fastest available) SpMV — it benchmarks the
     # preconditioner, not the matrix representation.
-    jac_op = ssys if ssys is not None else ell
+    jac_op = spmv_op if ssys is not None else ell
     solve_jacobi = jax.jit(
         lambda e, dinv, b: pcg(lambda v: spmv_fn(e, v),
                                lambda r: jnp.einsum("nij,nj->ni", dinv, r), b,
                                tol=1e-4, max_iters=20000, check_every=8)
     )
-    dinv = jnp.linalg.inv(ell.diag)
+    # block-Jacobi of the FULL system (incl. contact diagonal fill-in)
+    jdiag = ell.diag if contact is None else ell.diag + contact.diag
+    dinv = jnp.linalg.inv(jdiag)
 
     rs = solve_schwarz(spmv_op, state, b_iter)
     sync(rs.x[0, :1])

@@ -1,0 +1,140 @@
+"""Contact fill-in: collision-stencil Hessians as a system-matrix term.
+
+The reference's host simulator assembles contact penalty Hessians INTO the
+system CSR it hands the preconditioner (SURVEY §1: the caller passes
+`diagonal`/`csrOffDiagonals` already containing them; the EF/EE/VF sets
+exist so the PRECONDITIONER can track that same coupling,
+SeSchwarzPreconditioner.cpp:67-72). A preconditioner that contains contact
+terms the system lacks is actively harmful (measured: 632 vs 448 PCG
+iterations against block-Jacobi on a folded sheet), so any contact-enabled
+solve needs H to carry the fill-in too.
+
+Per stencil (<=5 verts, weights w, stiffness s, direction d — the rank-1
+model of PrepareCollisionHessian, cpp:1201-1227):
+
+    H_c = s * (w w^T) (x) (d d^T)
+
+i.e. block (i, j) = s * w_i * w_j * d d^T. Diagonal parts (i == j) fold
+into `diag`; off-diagonal parts are bucketed into a per-row contact ELL
+once per step (sort + rank-in-run + one scatter — paid at system-assembly
+time, like the reference's host CSR fill-in), so the per-iteration SpMV
+term is gather-only.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .stencils import Stencils
+
+
+class ContactEll(NamedTuple):
+    """Per-row contact off-diagonal blocks + per-vertex diagonal adds."""
+
+    idx: jnp.ndarray      # i32[N, Kc] column vertex of each slot
+    blocks: jnp.ndarray   # f32[N, Kc, 3, 3]
+    mask: jnp.ndarray     # bool[N, Kc]
+    diag: jnp.ndarray     # f32[N, 3, 3] contact diagonal contributions
+    dropped: jnp.ndarray  # i32[] off-diag pairs beyond the Kc budget
+
+
+def _stencil_pairs_flat(st: Stencils, n: int):
+    """All ordered vertex pairs (i != j) and diagonal terms of the stencils.
+
+    Returns (row i32[P], col i32[P], mat f32[P,3,3], valid bool[P]) for the
+    off-diagonals and (ids i32[Q], mat f32[Q,3,3], valid bool[Q]) for the
+    diagonal w_i^2 terms.
+    """
+    w = st.weight                                         # [S,5]
+    act = st.valid[:, None] & (jnp.arange(5)[None, :] < st.nverts[:, None])
+    d = st.direction                                      # [S,3]
+    ddt = st.stiff[:, None, None] * d[:, :, None] * d[:, None, :]  # [S,3,3]
+
+    import numpy as np
+
+    ii = np.arange(5)
+    pi, pj = np.meshgrid(ii, ii, indexing="ij")
+    off = pi.reshape(-1) != pj.reshape(-1)                # 25 -> 20 live combos
+    pi = jnp.asarray(pi.reshape(-1)[off])
+    pj = jnp.asarray(pj.reshape(-1)[off])                 # [20]
+
+    row = jnp.take(st.idx, pi, axis=1).reshape(-1)        # [S*20]
+    col = jnp.take(st.idx, pj, axis=1).reshape(-1)
+    wij = (jnp.take(w, pi, axis=1) * jnp.take(w, pj, axis=1)).reshape(-1)
+    pv = (jnp.take(act, pi, axis=1) & jnp.take(act, pj, axis=1)).reshape(-1)
+    mat = wij[:, None, None] * jnp.repeat(ddt, 20, axis=0)
+
+    dids = st.idx.reshape(-1)                             # [S*5]
+    dw2 = (w * w).reshape(-1)
+    dvalid = act.reshape(-1)
+    dmat = dw2[:, None, None] * jnp.repeat(ddt, 5, axis=0)
+    return (row, col, mat, pv & (row < n) & (col < n)), (dids, dmat, dvalid)
+
+
+def build_contact_ell(st: Stencils, n: int, kc: int = 16) -> ContactEll:
+    """Bucket stencil off-diagonals into a [N, kc] contact ELL.
+
+    Sort pairs by row, rank within each run, scatter into slots; pairs
+    beyond a row's kc budget are counted in `dropped` (the reference's
+    per-vertex stencil budget, cpp:187-188, plays the same role upstream).
+    """
+    (row, col, mat, valid), (dids, dmat, dvalid) = _stencil_pairs_flat(st, n)
+    p = row.shape[0]
+    rows_key = jnp.where(valid, row, n)
+    cols_key = jnp.where(valid, col, n)
+    # lexicographic (row, col) via two stable argsorts: duplicate pairs from
+    # overlapping stencils form runs that MERGE into one slot (their blocks
+    # accumulate), so kc budgets unique partners, not raw stencil pairs.
+    o1 = jnp.argsort(cols_key, stable=True)
+    o2 = jnp.argsort(jnp.take(rows_key, o1), stable=True)
+    order = jnp.take(o1, o2)
+    r_s = jnp.take(rows_key, order)
+    c_s = jnp.take(cols_key, order)
+    iota = jnp.arange(p, dtype=jnp.int32)
+    pair_start = jnp.concatenate(
+        [jnp.ones((1,), bool), (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])]
+    )
+    uid = jnp.cumsum(pair_start.astype(jnp.int32)) - 1    # unique-pair index
+    row_start = jnp.concatenate([jnp.ones((1,), bool), r_s[1:] != r_s[:-1]])
+    uid_base = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(row_start, uid, 0)
+    )
+    rank = uid - uid_base                                  # unique rank in row
+    ok = (r_s < n) & (rank < kc)
+    slot = jnp.where(ok, r_s * kc + rank, n * kc)
+    idx = jnp.full((n * kc + 1,), 0, jnp.int32)
+    msk = jnp.zeros((n * kc + 1,), bool)
+    blk = jnp.zeros((n * kc + 1, 9), jnp.float32)
+    ms = jnp.take(mat.reshape(-1, 9), order, axis=0)
+    slot_b, cs_b, ms_b = jax.lax.optimization_barrier((slot, c_s, ms))
+    idx = idx.at[slot_b].set(cs_b, mode="drop")
+    msk = msk.at[slot_b].set(True, mode="drop")
+    blk = blk.at[slot_b].add(ms_b, mode="drop")
+    dropped = jnp.sum(pair_start & (r_s < n) & (rank >= kc))
+
+    diag = jnp.zeros((n + 1, 9), jnp.float32)
+    tgt = jnp.where(dvalid & (dids < n), dids, n)
+    tgt_b, dmat_b = jax.lax.optimization_barrier((tgt, dmat.reshape(-1, 9)))
+    diag = diag.at[tgt_b].add(dmat_b, mode="drop")
+    return ContactEll(
+        idx=idx[:-1].reshape(n, kc),
+        blocks=blk[:-1].reshape(n, kc, 3, 3),
+        mask=msk[:-1].reshape(n, kc),
+        diag=diag[:n].reshape(n, 3, 3),
+        dropped=dropped.astype(jnp.int32),
+    )
+
+
+def contact_spmv(ce: ContactEll, x: jnp.ndarray) -> jnp.ndarray:
+    """y += H_contact x: gather-only per-row term + the diagonal term."""
+    xg = jnp.take(x, ce.idx.reshape(-1), axis=0).reshape(ce.idx.shape + (3,))
+    off = jnp.einsum(
+        "nkij,nkj->ni",
+        jnp.where(ce.mask[:, :, None, None], ce.blocks, 0.0), xg,
+        preferred_element_type=jnp.float32,
+    )
+    dg = jnp.einsum("nij,nj->ni", ce.diag, x, preferred_element_type=jnp.float32)
+    return off + dg

@@ -1,0 +1,66 @@
+"""Contact fill-in (ops/contact.py) vs an independent dense oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from precond_tpu.models import cloth
+from precond_tpu.models import collision as coll
+from precond_tpu.ops.contact import build_contact_ell, contact_spmv
+from precond_tpu.ops.stencils import build_stencils
+
+
+def _folded_stencils(grid=16):
+    mesh = cloth.make_grid(grid, grid, z_wave=0.0, mass=0.002)
+    n = mesh.num_verts
+    h = 1.0 / (grid - 1)
+    p = np.asarray(mesh.positions).copy()
+    fold = p[:, 0] > 0.5
+    p[:, 2] = np.where(fold, 0.5 * h, 0.0)
+    p[:, 0] = np.where(fold, 1.0 - p[:, 0], p[:, 0])
+    pos = jnp.asarray(p.astype(np.float32))
+    fj, ej = jnp.asarray(mesh.faces), jnp.asarray(mesh.edges)
+    vf, _ = coll.detect_vf_grid(pos, fj, 0.75 * h, 1e3, 2 * n)
+    ee, _ = coll.detect_ee_grid(pos, ej, 0.75 * h, 1e3, 2 * n)
+    st = build_stencils(ej, fj, ee=ee, vf=vf)
+    assert int(np.asarray(st.valid).sum()) > 0
+    return st, n
+
+
+def _dense_oracle(st, n):
+    """H_c = sum_s stiff (w w^T) (x) (d d^T), built directly from stencils."""
+    idx = np.asarray(st.idx)
+    w = np.asarray(st.weight)
+    nv = np.asarray(st.nverts)
+    stiff = np.asarray(st.stiff)
+    d = np.asarray(st.direction)
+    valid = np.asarray(st.valid)
+    h = np.zeros((3 * n, 3 * n), np.float64)
+    for s in range(idx.shape[0]):
+        if not valid[s]:
+            continue
+        ddt = stiff[s] * np.outer(d[s], d[s])
+        for a in range(nv[s]):
+            for b in range(nv[s]):
+                i, j = idx[s, a], idx[s, b]
+                h[3 * i : 3 * i + 3, 3 * j : 3 * j + 3] += w[s, a] * w[s, b] * ddt
+    return h
+
+
+def test_contact_ell_matches_dense_oracle():
+    st, n = _folded_stencils()
+    ce = build_contact_ell(st, n, kc=32)
+    assert int(ce.dropped) == 0
+    h = _dense_oracle(st, n)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((n, 3)).astype(np.float32)
+    y_ref = (h @ x.reshape(-1).astype(np.float64)).reshape(n, 3)
+    y = np.asarray(contact_spmv(ce, jnp.asarray(x)))
+    scale = max(np.abs(y_ref).max(), 1e-12)
+    np.testing.assert_allclose(y, y_ref, rtol=0, atol=5e-6 * scale)
+
+
+def test_contact_ell_budget_drops_counted():
+    st, n = _folded_stencils()
+    ce = build_contact_ell(st, n, kc=1)
+    assert int(ce.dropped) > 0
