@@ -199,6 +199,7 @@ class ClothSim:
 
             stencils = None
             detect_info = None
+            contact = None
             if collide:
                 # Hash-grid broad phase, all three set types (the reference
                 # consumes EF+EE+VF, cpp:67-72), per-vertex/edge budget from
@@ -217,6 +218,15 @@ class ClothSim:
                 detect_info = collision_model.DetectInfo(
                     truncated=i1.truncated | i2.truncated | i3.truncated,
                     dropped=i1.dropped + i2.dropped + i3.dropped,
+                )
+                # contacts belong IN the system the PCG solves, not just in
+                # M (ops/contact.py): H dx = rhs with penalty Hessians in H
+                # resists relative contact motion this step; M then tracks
+                # exactly the coupling H carries.
+                from ..ops.contact import build_contact_ell
+
+                contact = build_contact_ell(
+                    stencils, x.shape[0], kc=cfg.max_collision_per_vert
                 )
 
             from ..solver import prepare_grid, prepare_with_system
@@ -288,8 +298,16 @@ class ClothSim:
                         precondition_sorted(state, gm.grid_to_morton(r_, gmk), cfg),
                         gmk,
                     )
+                if contact is not None:
+                    from ..ops.contact import contact_spmv
+
+                    spmv_op = lambda p_: (  # noqa: E731
+                        gridstencil.spmv(ssys, p_) + contact_spmv(contact, p_)
+                    )
+                else:
+                    spmv_op = lambda p_: gridstencil.spmv(ssys, p_)  # noqa: E731
                 res = pcg(
-                    lambda p_: gridstencil.spmv(ssys, p_),
+                    spmv_op,
                     pre_op,
                     rhs, tol=tol, max_iters=max_iters,
                 )
@@ -297,9 +315,25 @@ class ClothSim:
             else:
                 # Solve in Morton-sorted space: permute rhs once, x back
                 # once (drops two N-row gathers per PCG iteration).
+                if contact is not None:
+                    from ..ops.contact import build_contact_ell as _bce
+                    from ..ops.contact import contact_spmv
+
+                    mapped = stencils._replace(
+                        idx=jnp.take(
+                            maps.orig_to_sorted,
+                            jnp.clip(stencils.idx, 0, x.shape[0] - 1),
+                        )
+                    )
+                    ce_sorted = _bce(mapped, x.shape[0], kc=cfg.max_collision_per_vert)
+                    spmv_op = lambda p_: (  # noqa: E731
+                        blockcsr.spmv(ells, p_) + contact_spmv(ce_sorted, p_)
+                    )
+                else:
+                    spmv_op = lambda p_: blockcsr.spmv(ells, p_)  # noqa: E731
                 rhs_sorted = jnp.take(rhs, maps.sorted_to_orig, axis=0)
                 res = pcg(
-                    lambda p_: blockcsr.spmv(ells, p_),
+                    spmv_op,
                     lambda r_: precondition_sorted(state, r_, cfg),
                     rhs_sorted, tol=tol, max_iters=max_iters,
                 )
