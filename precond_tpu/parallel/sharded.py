@@ -28,8 +28,10 @@ from .pcg import PcgResult, pcg
 
 
 def make_mesh(devices=None, axis: str = "x") -> Mesh:
+    import numpy as np
+
     devices = devices if devices is not None else jax.devices()
-    return Mesh(jax.numpy.array(devices).reshape(-1), (axis,))
+    return Mesh(np.array(devices).reshape(-1), (axis,))
 
 
 def shard_system(mesh: Mesh, ell: BlockEll, axis: str = "x") -> BlockEll:

@@ -1,0 +1,41 @@
+"""GSPMD grid fast path on the 8-virtual-device CPU mesh (SURVEY §4.5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from precond_tpu.config import SchwarzConfig
+from precond_tpu.models import cloth
+from precond_tpu.parallel.gridsharded import grid_solve_step, sharded_grid_solve_step
+from precond_tpu.parallel.sharded import make_mesh
+
+
+@pytest.mark.parametrize("sym", [False, True])
+def test_sharded_grid_solve_matches_single_device(sym):
+    k, grid = 5, 32
+    cfg = SchwarzConfig()
+    mesh_c = cloth.make_grid(grid, grid, z_wave=0.02, mass=0.001, dt=1.0 / 60.0)
+    n = mesh_c.num_verts
+    ssys = cloth.assemble_system_stencil(mesh_c, sym=sym)
+    diag_rows, dirs_rows, full_offsets = cloth.assemble_system_grid(mesh_c)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+
+    res1 = jax.jit(
+        lambda s, dg, dr, b: grid_solve_step(
+            s, dg, dr, b, full_offsets, k, cfg, tol=1e-5, max_iters=300
+        )
+    )(ssys, diag_rows, dirs_rows, b)
+
+    mesh = make_mesh()
+    assert len(mesh.devices.reshape(-1)) == 8
+    step = sharded_grid_solve_step(
+        mesh, cfg, ssys.offsets, k, tol=1e-5, max_iters=300, sym=sym
+    )
+    res8 = step(ssys, diag_rows, dirs_rows, b)
+
+    assert int(res8.iterations) <= int(res1.iterations) + 5
+    x1, x8 = np.asarray(res1.x), np.asarray(res8.x)
+    scale = np.abs(x1).max()
+    np.testing.assert_allclose(x8, x1, rtol=0, atol=5e-4 * scale)
