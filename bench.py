@@ -52,15 +52,24 @@ def main():
     mass = float(os.environ.get("BENCH_MASS", "0.001"))
     stencils = None
     contact = None
+    analytic_hier = False
+    box_maps = None
     if config == "tet":
-        # deformable tet body (BASELINE.json generality config)
+        # deformable tet body (BASELINE.json generality config); power-of-
+        # two sides ride the 3-D analytic box ordering: no runtime sort, no
+        # hierarchy build (arithmetic), static-transfer apply.
         from precond_tpu.models import tetmesh
+        from precond_tpu.utils import boxmorton as bm
 
-        side = int(os.environ.get("BENCH_TET", "26"))
+        side = int(os.environ.get("BENCH_TET", "32"))
         tmesh = tetmesh.make_box(side, side, side, mass=mass * 50, youngs=5e4)
         n = tmesh.num_verts
         ell = tetmesh.assemble_system(tmesh)
         positions = tmesh.positions
+        if bm.supported(side, side, side) and os.environ.get("BENCH_BOXMORTON", "1") != "0":
+            s2o, o2s = bm.sort_maps(side, side, side)
+            box_maps = (s2o, o2s)
+            analytic_hier = True
     elif config == "collide":
         # a folded self-colliding sheet: the overlapped half produces real
         # VF/EE/EF stencils across the fold gap (0.5 grid spacings, under
@@ -133,6 +142,10 @@ def main():
 
         s2o, o2s = gm.sort_maps(gmk)
         maps = SortMaps(jnp.asarray(s2o), jnp.asarray(o2s))
+    elif box_maps is not None:
+        from precond_tpu.solver import SortMaps
+
+        maps = SortMaps(jnp.asarray(box_maps[0]), jnp.asarray(box_maps[1]))
     else:
         maps = compute_sort_maps(jnp.asarray(positions))
     rng = np.random.default_rng(0)
@@ -172,17 +185,17 @@ def main():
         inv2_of = lambda out: out[1]  # noqa: E731
     else:
         def prep_one(e, m, s):
-            return prepare_with_system(e, m, cfg, s)
+            return prepare_with_system(e, m, cfg, s, analytic_hier=analytic_hier)
 
         def prep_two(e, m, s):
-            st1, _ = prepare_with_system(e, m, cfg, s)
+            st1, _ = prepare_with_system(e, m, cfg, s, analytic_hier=analytic_hier)
             # Sequence the second prepare after the first AND hide its
             # inputs behind an optimization_barrier: a value perturbation
             # on one field lets XLA CSE every subgraph that doesn't depend
             # on it (hierarchy, permutes) and the difference would
             # understate prepare.
             e2, m2, _ = jax.lax.optimization_barrier((e, m, st1.inv96[0, 0, 0]))
-            st2, _ = prepare_with_system(e2, m2, cfg, s)
+            st2, _ = prepare_with_system(e2, m2, cfg, s, analytic_hier=analytic_hier)
             return st1, st2
 
         prep = jax.jit(prep_one)
@@ -242,6 +255,10 @@ def main():
     elif ssys is not None:
         # grid-order solve: stencil SpMV + orig-order precondition
         spmv_op, pre_op, b_iter = ssys, lambda st, r: precondition(st, r, cfg), b
+    elif analytic_hier:
+        # sorted-space solve with the static-transfer apply (3-D box path)
+        spmv_op, b_iter = ells, b_sorted
+        pre_op = lambda st, r: precondition_grid(st.inv96, r, cfg)  # noqa: E731
     else:
         spmv_op, pre_op, b_iter = ells, lambda st, r: precondition_sorted(st, r, cfg), b_sorted
     if ssys is not None and contact is not None:

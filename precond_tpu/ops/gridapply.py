@@ -23,6 +23,7 @@ general builder produces exactly this hierarchy on grid meshes.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..config import SchwarzConfig
@@ -51,6 +52,52 @@ def grid_going_next(n: int, cfg: SchwarzConfig) -> jnp.ndarray:
         parents = jnp.where(j < sizes[l], offs[l + 1] + j // BANK, total)
         gn = gn.at[offs[l] : offs[l + 1]].set(parents)
     return gn
+
+
+def analytic_hierarchy(n: int, cfg: SchwarzConfig):
+    """The arithmetic hierarchy as a full Hierarchy NamedTuple.
+
+    For ANY ordering whose banks are single connected clusters at every
+    level (2-D tile grids, 3-D tile boxes — utils/gridmorton.py,
+    utils/boxmorton.py), the general builder's output is exactly this;
+    providing it directly lets prepare skip build_hierarchy while the
+    general assembly/apply machinery runs unchanged.
+    """
+    from .hierarchy import Hierarchy
+
+    levels = cfg.num_levels(n)
+    offs = cfg.level_offsets(n)
+    sizes = grid_level_sizes(n, cfg)
+    total = offs[-1]
+    gn = grid_going_next(n, cfg)
+
+    lc = jnp.arange(BANK, dtype=jnp.int32)
+    onehot = jnp.zeros((total // BANK, BANK, BANK), jnp.float32)
+    pos = jnp.full((total - offs[1],), -1, jnp.int32)
+    pb = jnp.full((total // BANK,), total, jnp.int32)
+    coarse_rows = [jnp.arange(n, dtype=jnp.int32)]
+    for l in range(levels - 1):
+        nb = (offs[l + 1] - offs[l]) // BANK
+        b = jnp.arange(nb, dtype=jnp.int32)
+        lane_ok = (b[:, None] * BANK + lc[None, :]) < sizes[l]     # [nb,32]
+        oh = (lane_ok[:, None, :] & (lc[None, :, None] == 0)).astype(jnp.float32)
+        onehot = jax.lax.dynamic_update_slice(onehot, oh, (offs[l] // BANK, 0, 0))
+        pb_seg = jnp.where(b * BANK < sizes[l], offs[l + 1] + b, total)
+        pb = jax.lax.dynamic_update_slice(pb, pb_seg, (offs[l] // BANK,))
+        cap_next = offs[l + 2] - offs[l + 1]
+        p = jnp.arange(cap_next, dtype=jnp.int32)
+        pos_seg = jnp.where(p < sizes[l + 1], offs[l] + p * BANK, -1)
+        pos = jax.lax.dynamic_update_slice(pos, pos_seg, (offs[l + 1] - offs[1],))
+        coarse_rows.append(coarse_rows[0] // (BANK ** (l + 1)))
+    return Hierarchy(
+        going_next=gn,
+        coarse_space=jnp.stack(coarse_rows),
+        level_sizes=jnp.asarray(sizes, jnp.int32),
+        overflow=jnp.asarray(False),
+        onehot=onehot,
+        pos=pos,
+        pb=pb,
+    )
 
 
 def restrict_residual_grid(

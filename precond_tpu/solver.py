@@ -42,12 +42,13 @@ def compute_sort_maps(positions: jnp.ndarray) -> SortMaps:
     return SortMaps(perm, morton.inverse_permutation(perm))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "analytic_hier"))
 def prepare_with_system(
     ell: BlockEll,
     maps: SortMaps,
     cfg: SchwarzConfig,
     stencils: Optional[Stencils] = None,
+    analytic_hier: bool = False,
 ):
     """prepare_preconditioner that also returns the Morton-sorted system.
 
@@ -72,7 +73,16 @@ def prepare_with_system(
         pairs = stencil_pairs(mapped)
         terms = collision_terms(mapped)
 
-    hier = hi.build_hierarchy(ell_sorted.idx, ell_sorted.mask, cfg, pairs)
+    if analytic_hier:
+        # The caller's ordering guarantees single-cluster banks at every
+        # level (analytic 2-D tile / 3-D box orderings) — the hierarchy is
+        # arithmetic and clustering is invariant to stencil connectivity,
+        # so skip the builder entirely (ops/gridapply.analytic_hierarchy).
+        from .ops.gridapply import analytic_hierarchy
+
+        hier = analytic_hierarchy(n, cfg)
+    else:
+        hier = hi.build_hierarchy(ell_sorted.idx, ell_sorted.mask, cfg, pairs)
     # The anchored one-hot transfer operators fall out of clustering
     # (hi.restriction_operators rederives the same from going_next).
     onehot, pos, pbs = hier.onehot, hier.pos, hier.pb
