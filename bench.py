@@ -54,6 +54,7 @@ def main():
     contact = None
     analytic_hier = False
     box_maps = None
+    bsys = None
     if config == "tet":
         # deformable tet body (BASELINE.json generality config); power-of-
         # two sides ride the 3-D analytic box ordering: no runtime sort, no
@@ -70,6 +71,12 @@ def main():
             s2o, o2s = bm.sort_maps(side, side, side)
             box_maps = (s2o, o2s)
             analytic_hier = True
+        if analytic_hier and os.environ.get("BENCH_BOXSTENCIL", "1") != "0":
+            from precond_tpu.ops import boxstencil
+
+            bsys = jax.jit(
+                lambda e: boxstencil.from_ell(e, (side, side, side))
+            )(ell)
     elif config == "collide":
         # a folded self-colliding sheet: the overlapped half produces real
         # VF/EE/EF stencils across the fold gap (0.5 grid spacings, under
@@ -255,6 +262,15 @@ def main():
     elif ssys is not None:
         # grid-order solve: stencil SpMV + orig-order precondition
         spmv_op, pre_op, b_iter = ssys, lambda st, r: precondition(st, r, cfg), b
+    elif bsys is not None and analytic_hier:
+        # box-order solve: 3-D stencil SpMV (zero gathers) + static-
+        # transfer apply crossed via analytic box transforms
+        def pre_op(st, r):
+            rs = bm.box_to_morton(r, side, side, side)
+            zs = precondition_grid(st.inv96, rs, cfg)
+            return bm.morton_to_box(zs, side, side, side)
+
+        spmv_op, b_iter = bsys, b
     elif analytic_hier:
         # sorted-space solve with the static-transfer apply (3-D box path)
         spmv_op, b_iter = ells, b_sorted
@@ -268,8 +284,14 @@ def main():
 
         def spmv_fn(op, v):
             return gridstencil.spmv(op[0], v) + contact_spmv(op[1], v)
+    elif ssys is not None:
+        spmv_fn = gridstencil.spmv
+    elif bsys is not None:
+        from precond_tpu.ops import boxstencil as _bst
+
+        spmv_fn = _bst.spmv
     else:
-        spmv_fn = gridstencil.spmv if ssys is not None else blockcsr.spmv
+        spmv_fn = blockcsr.spmv
 
     def k_iterations(op, state, b):
         def body(_, carry):
@@ -309,7 +331,7 @@ def main():
     )
     # Jacobi gets the SAME (fastest available) SpMV — it benchmarks the
     # preconditioner, not the matrix representation.
-    jac_op = spmv_op if ssys is not None else ell
+    jac_op = spmv_op if (ssys is not None or bsys is not None) else ell
     solve_jacobi = jax.jit(
         lambda e, dinv, b: pcg(lambda v: spmv_fn(e, v),
                                lambda r: jnp.einsum("nij,nj->ni", dinv, r), b,

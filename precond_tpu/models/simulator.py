@@ -63,9 +63,29 @@ class SoftBodySim:
             blocks=jnp.where(touches[:, :, None, None], 0.0, ell.blocks),
             diag=jnp.where(p[:, None, None], big, ell.diag),
         )
+        # structured-box fast path: analytic 3-D tile ordering (no runtime
+        # sort, arithmetic hierarchy) + gather-free stencil SpMV
+        from ..utils import boxmorton as bm
+
+        self._box = mesh.dims if (mesh.dims and bm.supported(*mesh.dims)) else None
+        self._bsys = None
+        if self._box is not None:
+            from ..ops import boxstencil
+            from ..solver import SortMaps, prepare_with_system
+
+            s2o, o2s = bm.sort_maps(*self._box)
+            maps = SortMaps(jnp.asarray(s2o), jnp.asarray(o2s))
+            self._bsys = jax.jit(
+                lambda e: boxstencil.from_ell(e, self._box)
+            )(self.ell)
+            state, _ = jax.jit(
+                lambda e, m: prepare_with_system(e, m, cfg, None, analytic_hier=True)
+            )(self.ell, maps)
+            self._inv96 = state.inv96
         self.pre = SchwarzPreconditioner(cfg)
-        self.pre.allocate(mesh.positions)
-        self.pre.prepare(self.ell)
+        if self._box is None:
+            self.pre.allocate(mesh.positions)
+            self.pre.prepare(self.ell)
         self.state = SimState(
             positions=jnp.asarray(mesh.positions),
             velocities=jnp.zeros((mesh.num_verts, 3), jnp.float32),
@@ -77,14 +97,31 @@ class SoftBodySim:
         m_dt2 = self.mesh.mass / dt**2
         x0 = jnp.asarray(self.mesh.positions)
 
+        if self._box is not None:
+            from ..ops import boxstencil
+            from ..ops.gridapply import precondition_grid
+            from ..utils import boxmorton as bm
+
+            nx, ny, nz = self._box
+            spmv_op = lambda p_: boxstencil.spmv(self._bsys, p_)  # noqa: E731
+            pre_apply = lambda r_: bm.morton_to_box(  # noqa: E731
+                precondition_grid(
+                    self._inv96, bm.box_to_morton(r_, nx, ny, nz), self.cfg
+                ),
+                nx, ny, nz,
+            )
+        else:
+            spmv_op = lambda p_: blockcsr.spmv(self.ell, p_)  # noqa: E731
+            pre_apply = self.pre.apply
+
         # f_int = -K (x - x0); K = H - (m/dt^2) I on unpinned rows
         dxr = x - x0
-        f_int = -(blockcsr.spmv(self.ell, dxr) - m_dt2 * dxr)
+        f_int = -(spmv_op(dxr) - m_dt2 * dxr)
         y = x + dt * v + dt * dt * self.gravity[None, :]
         rhs = m_dt2 * (y - x) + f_int
         rhs = jnp.where(self.pinned[:, None], 0.0, rhs)
 
-        res = pcg(lambda p_: blockcsr.spmv(self.ell, p_), self.pre.apply, rhs,
+        res = pcg(spmv_op, pre_apply, rhs,
                   tol=self.tol, max_iters=self.max_iters)
         dx = jnp.where(self.pinned[:, None], 0.0, res.x)
         x_new = x + dx

@@ -32,6 +32,7 @@ class TetMesh(NamedTuple):
     dt: float
     lam: float             # Lamé lambda
     mu: float              # Lamé mu
+    dims: tuple | None = None  # (nx, ny, nz) for structured boxes
 
     @property
     def num_verts(self) -> int:
@@ -80,7 +81,7 @@ def make_box(nx: int, ny: int, nz: int, size: float = 1.0, mass: float = 1.0,
     lam = youngs * poisson / ((1 + poisson) * (1 - 2 * poisson))
     mu = youngs / (2 * (1 + poisson))
     return TetMesh(positions=pos, tets=tets, faces=faces, edges=edges,
-                   mass=mass, dt=dt, lam=lam, mu=mu)
+                   mass=mass, dt=dt, lam=lam, mu=mu, dims=(nx, ny, nz))
 
 
 def element_blocks(positions: jnp.ndarray, tets: jnp.ndarray, lam: float, mu: float) -> jnp.ndarray:

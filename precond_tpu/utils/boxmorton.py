@@ -52,6 +52,46 @@ def _tile_rank(dims_t) -> np.ndarray:
     return rank.reshape(-1).astype(np.int64)  # row-major tile index -> rank
 
 
+def _rank_to_tile(dims_t) -> np.ndarray:
+    rank = _tile_rank(dims_t)
+    out = np.empty_like(rank)
+    out[rank] = np.arange(rank.size)
+    return out
+
+
+def box_to_morton(x, nx: int, ny: int, nz: int):
+    """[N, ...] row-major box order -> tile order (transposes + tile gather)."""
+    import jax.numpy as jnp
+
+    t = (nx // TILE[0], ny // TILE[1], nz // TILE[2])
+    lead = x.shape[1:]
+    la = len(lead)
+    tiles = (
+        x.reshape((t[0], TILE[0], t[1], TILE[1], t[2], TILE[2]) + lead)
+        .transpose((0, 2, 4, 1, 3, 5) + tuple(6 + a for a in range(la)))
+        .reshape((t[0] * t[1] * t[2], 32) + lead)
+    )
+    n = nx * ny * nz
+    return jnp.take(tiles, jnp.asarray(_rank_to_tile(t)), axis=0).reshape((n,) + lead)
+
+
+def morton_to_box(x, nx: int, ny: int, nz: int):
+    """Inverse of box_to_morton."""
+    import jax.numpy as jnp
+
+    t = (nx // TILE[0], ny // TILE[1], nz // TILE[2])
+    lead = x.shape[1:]
+    la = len(lead)
+    banks = x.reshape((t[0] * t[1] * t[2], 32) + lead)
+    tiles = jnp.take(banks, jnp.asarray(_tile_rank(t)), axis=0)
+    n = nx * ny * nz
+    return (
+        tiles.reshape((t[0], t[1], t[2], TILE[0], TILE[1], TILE[2]) + lead)
+        .transpose((0, 3, 1, 4, 2, 5) + tuple(6 + a for a in range(la)))
+        .reshape((n,) + lead)
+    )
+
+
 def sort_maps(nx: int, ny: int, nz: int):
     """(sorted_to_orig, orig_to_sorted) np.int32 for an (nx,ny,nz) box."""
     assert supported(nx, ny, nz)
