@@ -32,13 +32,18 @@ from .stencils import Stencils
 
 
 class ContactEll(NamedTuple):
-    """Per-row contact off-diagonal blocks + per-vertex diagonal adds."""
+    """Compact-row contact off-diagonals + per-vertex diagonal adds.
 
-    idx: jnp.ndarray      # i32[N, Kc] column vertex of each slot
-    blocks: jnp.ndarray   # f32[N, Kc, 3, 3]
-    mask: jnp.ndarray     # bool[N, Kc]
+    Only rows that actually have contacts occupy slots (R = max_rows
+    static cap), so the per-iteration SpMV term gathers R*Kc rows and
+    scatters R rows — proportional to the contact set, not the mesh."""
+
+    rows: jnp.ndarray     # i32[R] vertex of each compact row (n = padding)
+    idx: jnp.ndarray      # i32[R, Kc] column vertex of each slot
+    blocks: jnp.ndarray   # f32[R, Kc, 3, 3]
+    mask: jnp.ndarray     # bool[R, Kc]
     diag: jnp.ndarray     # f32[N, 3, 3] contact diagonal contributions
-    dropped: jnp.ndarray  # i32[] off-diag pairs beyond the Kc budget
+    dropped: jnp.ndarray  # i32[] pairs beyond the Kc budget or R row cap
 
 
 def _stencil_pairs_flat(st: Stencils, n: int):
@@ -74,12 +79,16 @@ def _stencil_pairs_flat(st: Stencils, n: int):
     return (row, col, mat, pv & (row < n) & (col < n)), (dids, dmat, dvalid)
 
 
-def build_contact_ell(st: Stencils, n: int, kc: int = 16) -> ContactEll:
-    """Bucket stencil off-diagonals into a [N, kc] contact ELL.
+def build_contact_ell(
+    st: Stencils, n: int, kc: int = 16, max_rows: int | None = None
+) -> ContactEll:
+    """Bucket stencil off-diagonals into a compact [R, kc] contact ELL.
 
-    Sort pairs by row, rank within each run, scatter into slots; pairs
-    beyond a row's kc budget are counted in `dropped` (the reference's
-    per-vertex stencil budget, cpp:187-188, plays the same role upstream).
+    Sort pairs lexicographically, rank unique pairs within each row's run,
+    densely number the active rows, scatter into slots; pairs beyond the
+    kc or R budgets are counted in `dropped` (the reference's per-vertex
+    stencil budget, cpp:187-188, plays the same role upstream). R defaults
+    to 5x the stencil count (a row needs a stencil to be active).
     """
     (row, col, mat, valid), (dids, dmat, dvalid) = _stencil_pairs_flat(st, n)
     p = row.shape[0]
@@ -103,38 +112,49 @@ def build_contact_ell(st: Stencils, n: int, kc: int = 16) -> ContactEll:
         jnp.maximum, jnp.where(row_start, uid, 0)
     )
     rank = uid - uid_base                                  # unique rank in row
-    ok = (r_s < n) & (rank < kc)
-    slot = jnp.where(ok, r_s * kc + rank, n * kc)
-    idx = jnp.full((n * kc + 1,), 0, jnp.int32)
-    msk = jnp.zeros((n * kc + 1,), bool)
-    blk = jnp.zeros((n * kc + 1, 9), jnp.float32)
+    # dense numbering of ACTIVE rows (compact-row layout)
+    rid = jnp.cumsum((row_start & (r_s < n)).astype(jnp.int32)) - 1
+    if max_rows is None:
+        max_rows = min(n, 5 * st.idx.shape[0])
+    r_cap = max_rows
+    ok = (r_s < n) & (rank < kc) & (rid < r_cap)
+    slot = jnp.where(ok, rid * kc + rank, r_cap * kc)
+    idx = jnp.full((r_cap * kc + 1,), 0, jnp.int32)
+    msk = jnp.zeros((r_cap * kc + 1,), bool)
+    blk = jnp.zeros((r_cap * kc + 1, 9), jnp.float32)
+    rows = jnp.full((r_cap + 1,), n, jnp.int32)
     ms = jnp.take(mat.reshape(-1, 9), order, axis=0)
     slot_b, cs_b, ms_b = jax.lax.optimization_barrier((slot, c_s, ms))
     idx = idx.at[slot_b].set(cs_b, mode="drop")
     msk = msk.at[slot_b].set(True, mode="drop")
     blk = blk.at[slot_b].add(ms_b, mode="drop")
-    dropped = jnp.sum(pair_start & (r_s < n) & (rank >= kc))
+    rows = rows.at[jnp.where(ok, rid, r_cap)].set(r_s.astype(jnp.int32), mode="drop")
+    dropped = jnp.sum(pair_start & (r_s < n) & ((rank >= kc) | (rid >= r_cap)))
 
     diag = jnp.zeros((n + 1, 9), jnp.float32)
     tgt = jnp.where(dvalid & (dids < n), dids, n)
     tgt_b, dmat_b = jax.lax.optimization_barrier((tgt, dmat.reshape(-1, 9)))
     diag = diag.at[tgt_b].add(dmat_b, mode="drop")
     return ContactEll(
-        idx=idx[:-1].reshape(n, kc),
-        blocks=blk[:-1].reshape(n, kc, 3, 3),
-        mask=msk[:-1].reshape(n, kc),
+        rows=rows[:-1],
+        idx=idx[:-1].reshape(r_cap, kc),
+        blocks=blk[:-1].reshape(r_cap, kc, 3, 3),
+        mask=msk[:-1].reshape(r_cap, kc),
         diag=diag[:n].reshape(n, 3, 3),
         dropped=dropped.astype(jnp.int32),
     )
 
 
 def contact_spmv(ce: ContactEll, x: jnp.ndarray) -> jnp.ndarray:
-    """y += H_contact x: gather-only per-row term + the diagonal term."""
+    """y += H_contact x: R*Kc-row gather + R-row scatter + diagonal term."""
+    n = x.shape[0]
     xg = jnp.take(x, ce.idx.reshape(-1), axis=0).reshape(ce.idx.shape + (3,))
     off = jnp.einsum(
-        "nkij,nkj->ni",
+        "rkij,rkj->ri",
         jnp.where(ce.mask[:, :, None, None], ce.blocks, 0.0), xg,
         preferred_element_type=jnp.float32,
     )
+    rows_b, off_b = jax.lax.optimization_barrier((ce.rows, off))
+    y = jnp.zeros((n + 1, 3), jnp.float32).at[rows_b].add(off_b, mode="drop")[:n]
     dg = jnp.einsum("nij,nj->ni", ce.diag, x, preferred_element_type=jnp.float32)
-    return off + dg
+    return y + dg
