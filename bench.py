@@ -180,10 +180,10 @@ def main():
         def prep_two(dg, dr, s, o):
             i1 = prepare_grid(dg, dr, goffsets, gmk, cfg, s, o)
             # Sequence the second prepare after the first AND hide its
-            # inputs behind an optimization_barrier so XLA cannot CSE the
-            # two copies (see the general path below).
-            dg2, dr2, _ = jax.lax.optimization_barrier((dg, dr, i1[0, 0, 0]))
-            return i1, prepare_grid(dg2, dr2, goffsets, gmk, cfg, s, o)
+            # inputs (incl. the stencils — their collision terms must not
+            # CSE) behind an optimization_barrier.
+            dg2, dr2, s2, _ = jax.lax.optimization_barrier((dg, dr, s, i1[0, 0, 0]))
+            return i1, prepare_grid(dg2, dr2, goffsets, gmk, cfg, s2, o)
 
         prep = jax.jit(prep_one)
         prep2 = jax.jit(prep_two)
