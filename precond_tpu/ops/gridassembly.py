@@ -34,6 +34,7 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -281,12 +282,35 @@ def assemble_grid_hessian(
     sc = jnp.asarray(pat.sc)
 
     # ---- fine level: banded broadcast products, one fused output pass -----
+    # chunked over banks so the [C,32,3,32,3] transient stays bounded at
+    # 1M-vertex block counts (the sum of D+1 broadcast products fuses into
+    # one pass over each chunk's output)
     eye_band = jnp.eye(BANK, dtype=jnp.float32)
-    h0 = dg.reshape(B0, BANK, 3, 1, 3) * eye_band[None, :, None, :, None]
-    for d in range(D):
-        bd = jnp.asarray(pat.band[d])
-        h0 = h0 + A[d].reshape(B0, BANK, 3, 1, 3) * bd[None, :, None, :, None]
-    parts = [h0.reshape(B0, 3 * BANK, 3 * BANK)]
+    bands = jnp.asarray(pat.band)                        # [D,32,32]
+
+    def fine_chunk(args):
+        dg_c, a_c = args                                 # [C,32,9], [D,C,32,9]
+        c = dg_c.shape[0]
+        h = dg_c.reshape(c, BANK, 3, 1, 3) * eye_band[None, :, None, :, None]
+        for d in range(D):
+            h = h + a_c[d].reshape(c, BANK, 3, 1, 3) * bands[d][None, :, None, :, None]
+        return h.reshape(c, 3 * BANK, 3 * BANK)
+
+    chunk = min(B0, 8192)
+    nc = (B0 + chunk - 1) // chunk
+    pad_b = nc * chunk - B0
+    dg_b = jnp.pad(dg.reshape(B0, BANK, 9), ((0, pad_b), (0, 0), (0, 0)))
+    a_b = jnp.pad(
+        jnp.stack(A).reshape(D, B0, BANK, 9), ((0, 0), (0, pad_b), (0, 0), (0, 0))
+    )
+    h0 = jax.lax.map(
+        fine_chunk,
+        (
+            dg_b.reshape(nc, chunk, BANK, 9),
+            jnp.moveaxis(a_b.reshape(D, nc, chunk, BANK, 9), 0, 1),
+        ),
+    ).reshape(-1, 3 * BANK, 3 * BANK)[:B0]
+    parts = [h0]
 
     # ---- coarse levels --------------------------------------------------
     iota = jnp.arange(BANK, dtype=jnp.int32)
