@@ -7,6 +7,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+
+# honor JAX_PLATFORMS even when a platform plugin (axon) outranks it
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 import jax.numpy as jnp
 
 from precond_tpu.config import SchwarzConfig
@@ -94,3 +98,14 @@ def prolong_fine_only(m, st):
 timeit("prolong fine-distribute", prolong_fine_only, mr0, state)
 
 timeit("precondition_sorted", lambda r, st: precondition_sorted(st, r * 1.000001, cfg), r0, state)
+
+# ---- static grid apply (ops/gridapply.py) ----------------------------------
+from precond_tpu.ops.gridapply import (
+    precondition_grid, restrict_residual_grid, prolong_and_collect_grid,
+)
+
+timeit("grid restrict", lambda r: jnp.pad(restrict_residual_grid(r * 1.000001, cfg, n), ((0, 0), (0, 0)))[:n], r0)
+timeit("grid prolong", lambda m: jnp.pad(prolong_and_collect_grid(m * 1.000001, cfg, n), ((0, total - n), (0, 0))), mr0)
+timeit("precondition_grid", lambda r, inv: precondition_grid(inv, r * 1.000001, cfg), r0, state.inv96)
+timeit("precondition_grid+crossings", lambda r, inv: gm.morton_to_grid(
+    precondition_grid(inv, gm.grid_to_morton(r * 1.000001, k_gm), cfg), k_gm), r0, state.inv96)
