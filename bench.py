@@ -55,6 +55,7 @@ def main():
     analytic_hier = False
     box_maps = None
     bsys = None
+    boxblocks = None
     if config == "tet":
         # deformable tet body (BASELINE.json generality config); power-of-
         # two sides ride the 3-D analytic box ordering: no runtime sort, no
@@ -76,6 +77,11 @@ def main():
 
             bsys = jax.jit(
                 lambda e: boxstencil.from_ell(e, (side, side, side))
+            )(ell)
+            # planes ARE the system assembly (host CSR analogue) — the
+            # timed prepare is then static assembly + factorization only
+            boxblocks = jax.jit(
+                lambda e: boxstencil.planes_from_ell(e, (side, side, side))
             )(ell)
     elif config == "collide":
         # a folded self-colliding sheet: the overlapped half produces real
@@ -171,7 +177,26 @@ def main():
     # CSE can't collapse them) and difference them; min-of-3 each. The
     # sync is a SCALAR fetch — fetching a whole array would drag ~100MB
     # through the tunnel and pollute the timing by seconds.
-    if gridblocks is not None:
+    if boxblocks is not None:
+        from precond_tpu.ops.boxstencil import BOX_OFFSETS
+        from precond_tpu.solver import prepare_box
+
+        bdims = (side, side, side)
+
+        def prep_one(dg, dr):
+            return prepare_box(dg, dr, BOX_OFFSETS, bdims, cfg)
+
+        def prep_two(dg, dr):
+            i1 = prepare_box(dg, dr, BOX_OFFSETS, bdims, cfg)
+            dg2, dr2, _ = jax.lax.optimization_barrier((dg, dr, i1[0, 0, 0]))
+            return i1, prepare_box(dg2, dr2, BOX_OFFSETS, bdims, cfg)
+
+        prep = jax.jit(prep_one)
+        prep2 = jax.jit(prep_two)
+        prep_args = boxblocks
+        inv_of = lambda out: out  # noqa: E731
+        inv2_of = lambda out: out[1]  # noqa: E731
+    elif gridblocks is not None:
         dgr, drr, goffsets = gridblocks
 
         def prep_one(dg, dr, s, o):
@@ -229,7 +254,7 @@ def main():
         t_two = min(t_two, time.perf_counter() - t0)
     prepare_s = max(t_two - t_one, 1e-9)  # in-jit prepare, dispatch cancelled
     dispatch_s = max(t_one - prepare_s, 0.0)
-    if gridblocks is not None:
+    if gridblocks is not None or boxblocks is not None:
         inv96 = out
         state, ells, b_sorted = None, None, None
     else:
@@ -264,13 +289,14 @@ def main():
         spmv_op, pre_op, b_iter = ssys, lambda st, r: precondition(st, r, cfg), b
     elif bsys is not None and analytic_hier:
         # box-order solve: 3-D stencil SpMV (zero gathers) + static-
-        # transfer apply crossed via analytic box transforms
+        # transfer apply crossed via analytic box transforms (state is
+        # just inv96 from prepare_box)
         def pre_op(st, r):
             rs = bm.box_to_morton(r, side, side, side)
-            zs = precondition_grid(st.inv96, rs, cfg)
+            zs = precondition_grid(st, rs, cfg)
             return bm.morton_to_box(zs, side, side, side)
 
-        spmv_op, b_iter = bsys, b
+        spmv_op, b_iter, state = bsys, b, inv96
     elif analytic_hier:
         # sorted-space solve with the static-transfer apply (3-D box path)
         spmv_op, b_iter = ells, b_sorted

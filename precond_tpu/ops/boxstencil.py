@@ -58,16 +58,15 @@ BOX_OFFSETS: Tuple[Tuple[int, int, int], ...] = tuple(
 )
 
 
-def from_ell(ell: BlockEll, dims: Tuple[int, int, int],
-             offsets: Tuple[Tuple[int, int, int], ...] = BOX_OFFSETS) -> BoxStencilSystem:
-    """Extract direction planes from a block-ELL on a row-major box.
+def planes_from_ell(ell: BlockEll, dims: Tuple[int, int, int],
+                    offsets: Tuple[Tuple[int, int, int], ...] = BOX_OFFSETS):
+    """Extract row-major direction planes from a block-ELL on a box.
 
     plane_d[v] = sum_k blocks[v,k] where idx[v,k] - v equals the constant
     row-major stride of offset d — one masked reduce per direction (zero
-    where the neighbor is absent or off-box; interior/boundary are handled
-    by the same mask since clamped ids never alias a valid stride at the
-    box edge... they CAN alias across j/k wrap, so the wrap is re-checked
-    against true coordinates).
+    where the neighbor is absent or off-box; clamped ids can alias a
+    stride across a j/k wrap, so validity is re-checked against true
+    coordinates). Returns (diag f32[N,3,3], dirs f32[D,N,3,3]).
     """
     nx, ny, nz = dims
     n = nx * ny * nz
@@ -87,9 +86,16 @@ def from_ell(ell: BlockEll, dims: Tuple[int, int, int],
         planes.append(
             jnp.sum(ell.blocks * sel[:, :, None, None].astype(ell.blocks.dtype), axis=1)
         )
-    dirs = jnp.stack(planes)                                # [D,N,3,3]
-    # every masked ELL block must be accounted for by some offset
-    diag_t = ell.diag.reshape(n, 9).T.reshape(3, 3, n)
+    return ell.diag, jnp.stack(planes)                      # [N,3,3], [D,N,3,3]
+
+
+def from_ell(ell: BlockEll, dims: Tuple[int, int, int],
+             offsets: Tuple[Tuple[int, int, int], ...] = BOX_OFFSETS) -> BoxStencilSystem:
+    """Stencil system (vertex-minor layout for the SpMV) from a block-ELL."""
+    nx, ny, nz = dims
+    n = nx * ny * nz
+    diag, dirs = planes_from_ell(ell, dims, offsets)
+    diag_t = diag.reshape(n, 9).T.reshape(3, 3, n)
     dirs_t = dirs.reshape(-1, n, 9).transpose(0, 2, 1).reshape(-1, 3, 3, n)
     return BoxStencilSystem(diag_t, dirs_t, offsets, dims)
 

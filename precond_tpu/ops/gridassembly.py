@@ -55,15 +55,19 @@ class GridPattern(NamedTuple):
     fill: np.ndarray        # f32[B,96] 1 where the node row is padding (identity fill)
 
 
-@functools.lru_cache(maxsize=8)
-def grid_pattern(k: int, offsets: Tuple[Tuple[int, int], ...], cfg: SchwarzConfig) -> GridPattern:
-    side = 1 << k
-    n = side * side
-    assert gm.supported(side, side)
+def _pattern_nd(dims, s2o, o2s, offsets, cfg: SchwarzConfig) -> GridPattern:
+    """Dimension-generic static pattern over any analytic tile ordering.
+
+    dims: vertex extents per axis (row-major flattening). s2o/o2s: tile
+    slot <-> row-major vertex maps whose rank interleave yields nested
+    dyadic boxes (utils/gridmorton.py 2-D, utils/boxmorton.py 3-D).
+    """
+    nd = len(dims)
+    n = int(np.prod(dims))
     levels = cfg.num_levels(n)
     caps = cfg.level_capacities(n)
-    s2o, o2s = gm.sort_maps(k)                     # tile slot <-> grid vertex
-    gi, gj = s2o // side, s2o % side               # [N] grid coords per slot
+    strides = [int(np.prod(dims[a + 1 :])) for a in range(nd)]
+    coords = [(s2o // strides[a]) % dims[a] for a in range(nd)]   # [nd][N]
     trank = np.arange(n, dtype=np.int64) // BANK   # tile rank per slot
     lane = np.arange(n, dtype=np.int64) % BANK
 
@@ -77,18 +81,21 @@ def grid_pattern(k: int, offsets: Tuple[Tuple[int, int], ...], cfg: SchwarzConfi
     sc8 = np.full((D, n), -1, np.int8)
     offdiag = []
 
-    for d, (di, dj) in enumerate(offsets):
-        ui, uj = gi + di, gj + dj
-        valid = (ui >= 0) & (ui < side) & (uj >= 0) & (uj < side)
-        uic, ujc = np.clip(ui, 0, side - 1), np.clip(uj, 0, side - 1)
-        u_slot = o2s[uic * side + ujc].astype(np.int64)
+    for d, off in enumerate(offsets):
+        u = [coords[a] + off[a] for a in range(nd)]
+        valid = np.ones(n, bool)
+        for a in range(nd):
+            valid &= (u[a] >= 0) & (u[a] < dims[a])
+        uc = [np.clip(u[a], 0, dims[a] - 1) for a in range(nd)]
+        u_flat = sum(uc[a] * strides[a] for a in range(nd))
+        u_slot = o2s[u_flat].astype(np.int64)
         tu, lu = u_slot // BANK, u_slot % BANK
 
         # merge level: first m >= 0 with trank >> 5m == tu >> 5m
         lam = np.full(n, -1, np.int64)
         for m in range(levels - 1, -1, -1):
             lam = np.where((trank >> (5 * m)) == (tu >> (5 * m)), m, lam)
-        assert np.all(lam[valid] >= 0), "grid pair fails to merge"
+        assert np.all(lam[valid] >= 0), "pair fails to merge"
         lam8[d] = np.where(valid, lam, -1).astype(np.int8)
 
         sel0 = valid & (lam == 0)
@@ -104,14 +111,15 @@ def grid_pattern(k: int, offsets: Tuple[Tuple[int, int], ...], cfg: SchwarzConfi
             if not selm.any():
                 continue
             # crossing direction measured at THIS level's region geometry
-            # (regions are aligned dyadic rectangles; node 0 starts at the
+            # (regions are aligned dyadic boxes; node 0 starts at the
             # origin, so its extents give the uniform region size)
             node0 = p == 0
-            ri = int(gi[node0].max()) + 1
-            rj = int(gj[node0].max()) + 1
-            si = np.sign(uic // ri - gi // ri)
-            sj = np.sign(ujc // rj - gj // rj)
-            code = (3 * (si + 1) + (sj + 1)).astype(np.int8)
+            r_ext = [int(coords[a][node0].max()) + 1 for a in range(nd)]
+            code = np.zeros(n, np.int64)
+            for a in range(nd):
+                sa = np.sign(uc[a] // r_ext[a] - coords[a] // r_ext[a])
+                code = code * 3 + (sa + 1)
+            code = code.astype(np.int8)
             sc8[d] = np.where(selm, code, sc8[d])
             for c in np.unique(code[selm]):
                 sel = selm & (code == c)
@@ -129,7 +137,6 @@ def grid_pattern(k: int, offsets: Tuple[Tuple[int, int], ...], cfg: SchwarzConfi
     offs = [0]
     for c in caps:
         offs.append(offs[-1] + c)
-    fill = np.zeros((offs[-1] // BANK, 3 * BANK), np.float32)
     nodes = np.arange(offs[-1])
     inactive = np.zeros(offs[-1], bool)
     for l in range(levels):
@@ -138,6 +145,25 @@ def grid_pattern(k: int, offsets: Tuple[Tuple[int, int], ...], cfg: SchwarzConfi
     fill = np.repeat(inactive.reshape(-1, BANK), 3, axis=1).astype(np.float32)
 
     return GridPattern(band, lam8, sc8, tuple(offdiag), tuple(sizes), fill)
+
+
+@functools.lru_cache(maxsize=8)
+def grid_pattern(k: int, offsets: Tuple[Tuple[int, int], ...], cfg: SchwarzConfig) -> GridPattern:
+    side = 1 << k
+    assert gm.supported(side, side)
+    s2o, o2s = gm.sort_maps(k)                     # tile slot <-> grid vertex
+    return _pattern_nd((side, side), s2o, o2s, offsets, cfg)
+
+
+@functools.lru_cache(maxsize=8)
+def box_pattern(dims: Tuple[int, int, int],
+                offsets: Tuple[Tuple[int, int, int], ...],
+                cfg: SchwarzConfig) -> GridPattern:
+    from ..utils import boxmorton as bm
+
+    assert bm.supported(*dims)
+    s2o, o2s = bm.sort_maps(*dims)
+    return _pattern_nd(dims, s2o, o2s, offsets, cfg)
 
 
 def arith_parent(x: jnp.ndarray, cfg: SchwarzConfig, n: int) -> jnp.ndarray:
@@ -266,14 +292,41 @@ def assemble_grid_hessian(
     """All domain Hessians f32[B,96,96]; bit-compatible with the general
     assemble_banked_hessian on grid meshes (tests/test_gridprep.py)."""
     n = diag_rows.shape[0]
-    levels = cfg.num_levels(n)
-    caps = cfg.level_capacities(n)
     pat = grid_pattern(k, tuple(map(tuple, offsets)), cfg)
     D = len(offsets)
-    B0 = n // BANK
-
     A = [gm.grid_to_morton(dirs_rows[d].reshape(n, 9), k) for d in range(D)]
     dg = gm.grid_to_morton(diag_rows.reshape(n, 9), k)
+    return _assemble_core(dg, A, pat, cfg, collisions)
+
+
+def assemble_box_hessian(
+    diag_rows: jnp.ndarray,   # f32[N,3,3] box (row-major) vertex order
+    dirs_rows: jnp.ndarray,   # f32[D,N,3,3] box order, per direction
+    offsets: Tuple[Tuple[int, int, int], ...],
+    dims: Tuple[int, int, int],
+    cfg: SchwarzConfig,
+    collisions=None,
+) -> jnp.ndarray:
+    """3-D twin of assemble_grid_hessian for tet boxes (utils/boxmorton.py);
+    bit-compatible with the general path (tests/test_boxprep.py)."""
+    from ..utils import boxmorton as bm
+
+    n = diag_rows.shape[0]
+    pat = box_pattern(tuple(dims), tuple(map(tuple, offsets)), cfg)
+    D = len(offsets)
+    A = [bm.box_to_morton(dirs_rows[d].reshape(n, 9), *dims) for d in range(D)]
+    dg = bm.box_to_morton(diag_rows.reshape(n, 9), *dims)
+    return _assemble_core(dg, A, pat, cfg, collisions)
+
+
+def _assemble_core(dg, A, pat: GridPattern, cfg: SchwarzConfig, collisions=None):
+    """Static assembly from tile-order per-direction blocks (any dims)."""
+    n = dg.shape[0]
+    levels = cfg.num_levels(n)
+    caps = cfg.level_capacities(n)
+    D = len(A)
+    B0 = n // BANK
+
     crows = None
     if collisions is not None:
         crows, dg_add = grid_collision_terms(collisions, cfg, n)

@@ -42,6 +42,31 @@ def compute_sort_maps(positions: jnp.ndarray) -> SortMaps:
     return SortMaps(perm, morton.inverse_permutation(perm))
 
 
+@functools.partial(jax.jit, static_argnames=("offsets", "dims", "cfg"))
+def prepare_box(
+    diag_rows: jnp.ndarray,   # f32[N,3,3] box (row-major) vertex order
+    dirs_rows: jnp.ndarray,   # f32[D,N,3,3] box order
+    offsets,                  # static tuple of (di, dj, dk)
+    dims,                     # static (nx, ny, nz)
+    cfg: SchwarzConfig,
+) -> jnp.ndarray:
+    """3-D twin of prepare_grid for tet boxes: static assembly over the
+    analytic box ordering (utils/boxmorton.py) + factorization -> inv96.
+    Apply with ops.gridapply.precondition_grid on box_to_morton vectors."""
+    from .ops.gridassembly import assemble_box_hessian
+
+    h96 = assemble_box_hessian(diag_rows, dirs_rows, offsets, dims, cfg)
+    if cfg.inverse_kernel == "pallas" and jax.default_backend() != "cpu":
+        from .ops.pallas.chol_inverse import invert_spd_blocks_chol
+
+        inv96 = invert_spd_blocks_chol(h96, group=cfg.pallas_inverse_group)
+    elif cfg.inverse_kernel == "xla":
+        inv96 = invert_spd_blocks(h96)
+    else:
+        inv96 = invert_spd_blocks_panel(h96)
+    return inv96.astype(jnp.dtype(cfg.inverse_dtype))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "analytic_hier"))
 def prepare_with_system(
     ell: BlockEll,

@@ -55,3 +55,64 @@ def test_box_analytic_prepare_matches_general():
     z_box = np.asarray(precondition_grid(st_ana.inv96, r, cfg))
     scale = np.abs(z_gen).max()
     np.testing.assert_allclose(z_box, z_gen, rtol=1e-5, atol=1e-5 * scale)
+
+
+def test_box_static_assembly_matches_general():
+    """assemble_box_hessian (static 3-D placement) == general assembly."""
+    from precond_tpu.ops import boxstencil
+    from precond_tpu.ops.assembly import assemble_banked_hessian
+    from precond_tpu.ops.gridassembly import assemble_box_hessian
+    from precond_tpu.ops import hierarchy as hi
+    from precond_tpu.ops.blockcsr import permute
+
+    dims = (8, 8, 8)
+    cfg = SchwarzConfig()
+    mesh = tetmesh.make_box(*dims, mass=0.05, youngs=5e4)
+    ell = tetmesh.assemble_system(mesh)
+    s2o, o2s = bm.sort_maps(*dims)
+    maps = SortMaps(jnp.asarray(s2o), jnp.asarray(o2s))
+    ells = jax.jit(lambda e, m: permute(e, m.sorted_to_orig, m.orig_to_sorted))(ell, maps)
+    hier = jax.jit(lambda i, m: hi.build_hierarchy(i, m, cfg, None))(ells.idx, ells.mask)
+    h_gen = np.asarray(
+        jax.jit(lambda e, h: assemble_banked_hessian(e, h, cfg, None))(ells, hier)
+    )
+
+    diag, dirs = boxstencil.planes_from_ell(ell, dims)
+    h_box = np.asarray(
+        jax.jit(
+            lambda dg, dr: assemble_box_hessian(
+                dg, dr, boxstencil.BOX_OFFSETS, dims, cfg
+            )
+        )(diag, dirs)
+    )
+    scale = np.abs(h_gen).max()
+    np.testing.assert_allclose(h_box, h_gen, rtol=1e-5, atol=3e-5 * scale)
+
+
+def test_prepare_box_solves():
+    from precond_tpu.ops import boxstencil
+    from precond_tpu.parallel.pcg import pcg
+    from precond_tpu.solver import prepare_box
+
+    dims = (8, 8, 8)
+    cfg = SchwarzConfig()
+    mesh = tetmesh.make_box(*dims, mass=0.05, youngs=5e4)
+    n = mesh.num_verts
+    ell = tetmesh.assemble_system(mesh)
+    bsys = boxstencil.from_ell(ell, dims)
+    diag, dirs = boxstencil.planes_from_ell(ell, dims)
+    inv96 = jax.jit(
+        lambda dg, dr: prepare_box(dg, dr, boxstencil.BOX_OFFSETS, dims, cfg)
+    )(diag, dirs)
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+
+    def pre_op(r):
+        rs = bm.box_to_morton(r, *dims)
+        return bm.morton_to_box(precondition_grid(inv96, rs, cfg), *dims)
+
+    res = jax.jit(
+        lambda b: pcg(lambda v: boxstencil.spmv(bsys, v), pre_op, b,
+                      tol=1e-4, max_iters=300)
+    )(b)
+    assert float(res.rel_residual) <= 1e-4 * 1.01
