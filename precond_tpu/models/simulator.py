@@ -71,17 +71,19 @@ class SoftBodySim:
         self._bsys = None
         if self._box is not None:
             from ..ops import boxstencil
-            from ..solver import SortMaps, prepare_with_system
+            from ..solver import prepare_box
 
-            s2o, o2s = bm.sort_maps(*self._box)
-            maps = SortMaps(jnp.asarray(s2o), jnp.asarray(o2s))
             self._bsys = jax.jit(
                 lambda e: boxstencil.from_ell(e, self._box)
             )(self.ell)
-            state, _ = jax.jit(
-                lambda e, m: prepare_with_system(e, m, cfg, None, analytic_hier=True)
-            )(self.ell, maps)
-            self._inv96 = state.inv96
+            dgr, drr = jax.jit(
+                lambda e: boxstencil.planes_from_ell(e, self._box)
+            )(self.ell)
+            self._inv96 = jax.jit(
+                lambda a, b: prepare_box(
+                    a, b, boxstencil.BOX_OFFSETS, self._box, cfg
+                )
+            )(dgr, drr)
         self.pre = SchwarzPreconditioner(cfg)
         if self._box is None:
             self.pre.allocate(mesh.positions)
