@@ -148,6 +148,7 @@ class ClothSim:
         collision_threshold: float = 0.0,
         collision_budget: int = 256,
         collision_cell_cap: int = 16,
+        collision_rest_gap: Optional[float] = None,
     ):
         self.mesh = mesh
         self.cfg = cfg
@@ -162,6 +163,11 @@ class ClothSim:
         self.collision_threshold = collision_threshold
         self.collision_budget = collision_budget
         self.collision_cell_cap = collision_cell_cap
+        # penalty rest separation: contacts push apart until this gap
+        # (defaults to the detection threshold)
+        self.collision_rest_gap = (
+            collision_threshold if collision_rest_gap is None else collision_rest_gap
+        )
 
         self.pre = SchwarzPreconditioner(cfg)
         # fixed ELL sparsity from rest topology; per-step refresh is jitted
@@ -218,6 +224,7 @@ class ClothSim:
             self.collision_threshold, self.collision_stiffness, self.collision_budget
         )
         c_cap = self.collision_cell_cap
+        c_rest = self.collision_rest_gap
 
         @jax.jit
         def step_fn(ell0, maps, springs, stiffness, rest_pos, sos, faces, edges,
@@ -237,6 +244,7 @@ class ClothSim:
                 )
 
             stencils = None
+            st_sys = None
             detect_info = None
             contact = None
             if collide:
@@ -258,6 +266,22 @@ class ClothSim:
                     truncated=i1.truncated | i2.truncated | i3.truncated,
                     dropped=i1.dropped + i2.dropped + i3.dropped,
                 )
+                # Pinned DOF are eliminated from the solve (dx = 0), so the
+                # contact Hessian entering H and M must be the eliminated
+                # one too — the stencil Hessian is rank-1 in the weights
+                # (stiff * w w^T (x) d d^T), so zeroing pinned vertices'
+                # weights reproduces it exactly. Without this, contact
+                # coupling drags pinned rows inside the solve (their dx is
+                # only zeroed afterward): relative contact motion goes
+                # unresisted and the penalty rhs overshoots by 100x+.
+                # contact_forces below keeps the FULL weights: the gap g
+                # depends on pinned positions even though their DOF don't.
+                wmask = ~jnp.take(
+                    pinned, jnp.clip(stencils.idx, 0, x.shape[0] - 1)
+                )
+                st_sys = stencils._replace(
+                    weight=stencils.weight * wmask.astype(jnp.float32)
+                )
                 # contacts belong IN the system the PCG solves, not just in
                 # M (ops/contact.py): H dx = rhs with penalty Hessians in H
                 # resists relative contact motion this step; M then tracks
@@ -265,7 +289,7 @@ class ClothSim:
                 from ..ops.contact import build_contact_ell
 
                 contact = build_contact_ell(
-                    stencils, x.shape[0], kc=cfg.max_collision_per_vert
+                    st_sys, x.shape[0], kc=cfg.max_collision_per_vert
                 )
 
             from ..solver import prepare_grid, prepare_with_system
@@ -292,11 +316,11 @@ class ClothSim:
                 )
                 inv96 = prepare_grid(
                     dgr, drr, full_off, gmk, cfg,
-                    stencils, maps.orig_to_sorted,
+                    st_sys, maps.orig_to_sorted,
                 )
                 state = None
             else:
-                state, ells = prepare_with_system(ell, maps, cfg, stencils)
+                state, ells = prepare_with_system(ell, maps, cfg, st_sys)
             if gmk is not None:
                 # st_ks is an ARGUMENT (never a closure constant: a [D,nx,ny]
                 # stiffness plane baked into the program blows the remote-
@@ -320,6 +344,14 @@ class ClothSim:
             f_int = jnp.zeros_like(x).at[springs[:, 0]].add(f).at[springs[:, 1]].add(-f)
             y = x + dt * v + dt * dt * gravity[None, :]
             rhs = m_dt2 * (y - x) + f_int
+            if stencils is not None:
+                # gap-aware penalty forces: the rhs counterpart of the
+                # contact Hessians already in H/M (ops/contact.py) —
+                # without them contacts only damp relative motion instead
+                # of resolving penetration
+                from ..ops.contact import contact_forces
+
+                rhs = rhs + contact_forces(stencils, x, c_rest)
             rhs = jnp.where(pinned[:, None], 0.0, rhs)
 
             if gmk is not None:
@@ -358,10 +390,10 @@ class ClothSim:
                     from ..ops.contact import build_contact_ell as _bce
                     from ..ops.contact import contact_spmv
 
-                    mapped = stencils._replace(
+                    mapped = st_sys._replace(
                         idx=jnp.take(
                             maps.orig_to_sorted,
-                            jnp.clip(stencils.idx, 0, x.shape[0] - 1),
+                            jnp.clip(st_sys.idx, 0, x.shape[0] - 1),
                         )
                     )
                     ce_sorted = _bce(mapped, x.shape[0], kc=cfg.max_collision_per_vert)

@@ -145,6 +145,41 @@ def build_contact_ell(
     )
 
 
+def contact_forces(
+    st: Stencils, x: jnp.ndarray, rest_gap: float | jnp.ndarray
+) -> jnp.ndarray:
+    """Gap-aware penalty forces of the collision stencils. -> f32[N,3].
+
+    The reference leaves force assembly to its host simulator (SURVEY §1:
+    the caller's rhs already carries it; the stencils only inform H and M).
+    This is that host-side model, consistent with the rank-1 stencil
+    Hessian (PrepareCollisionHessian, cpp:1212): penalty energy per stencil
+
+        E = 1/2 * stiff * max(rest_gap - g, 0)^2,   g = d . sum_i w_i x_i
+
+    where g is the signed separation along the repulsion direction (the
+    signed weights make sum_i w_i x_i the primitive-A-minus-primitive-B
+    closest-point difference, so g = distance at detection time). The
+    force f_i = -dE/dx_i = stiff * max(rest_gap - g, 0) * w_i * d pushes
+    the primitives apart while g < rest_gap and vanishes smoothly at the
+    rest gap; its Gauss-Newton Hessian (freezing d, w) is exactly the
+    stiff * w_i w_j * d d^T of collision_terms / build_contact_ell, so the
+    solved system is consistent with the rhs. Weights of each primitive
+    sum to +/-1, so sum_i f_i = 0 — contacts conserve momentum.
+    """
+    n = x.shape[0]
+    act = st.valid[:, None] & (jnp.arange(5)[None, :] < st.nverts[:, None])
+    w = jnp.where(act, st.weight, 0.0)                    # [S,5]
+    xs = jnp.take(x, jnp.clip(st.idx, 0, n - 1).reshape(-1), axis=0)
+    xs = xs.reshape(st.idx.shape + (3,))                  # [S,5,3]
+    g = jnp.einsum("sv,svk,sk->s", w, xs, st.direction)   # [S]
+    mag = st.stiff * jnp.maximum(rest_gap - g, 0.0)       # [S]
+    fs = (mag[:, None] * w)[:, :, None] * st.direction[:, None, :]  # [S,5,3]
+    tgt = jnp.where(act, st.idx, n).reshape(-1)
+    tgt_b, fs_b = jax.lax.optimization_barrier((tgt, fs.reshape(-1, 3)))
+    return jnp.zeros((n + 1, 3), jnp.float32).at[tgt_b].add(fs_b, mode="drop")[:n]
+
+
 def contact_spmv(ce: ContactEll, x: jnp.ndarray) -> jnp.ndarray:
     """y += H_contact x: R*Kc-row gather + R-row scatter + diagonal term."""
     n = x.shape[0]

@@ -64,3 +64,64 @@ def test_contact_ell_budget_drops_counted():
     st, n = _folded_stencils()
     ce = build_contact_ell(st, n, kc=1)
     assert int(ce.dropped) > 0
+
+
+def _penalty_energy(st, x, rest_gap):
+    """Reference energy: 1/2 sum_s stiff * max(rest_gap - g_s, 0)^2."""
+    idx = np.asarray(st.idx)
+    w = np.asarray(st.weight)
+    nv = np.asarray(st.nverts)
+    stiff = np.asarray(st.stiff)
+    d = np.asarray(st.direction).astype(np.float64)
+    valid = np.asarray(st.valid)
+    e = 0.0
+    for s in range(idx.shape[0]):
+        if not valid[s]:
+            continue
+        g = sum(w[s, a] * d[s] @ x[idx[s, a]] for a in range(nv[s]))
+        e += 0.5 * stiff[s] * max(rest_gap - g, 0.0) ** 2
+    return e
+
+
+def test_contact_forces_match_energy_gradient():
+    from precond_tpu.ops.contact import contact_forces
+
+    st, n = _folded_stencils()
+    rest = 0.75 / 15  # the detection threshold of _folded_stencils
+    rng = np.random.default_rng(1)
+    mesh = cloth.make_grid(16, 16, z_wave=0.0, mass=0.002)
+    p = np.asarray(mesh.positions).astype(np.float64)
+    p += 1e-4 * rng.standard_normal(p.shape)  # keep the clamps strictly active
+    f = np.asarray(contact_forces(st, jnp.asarray(p.astype(np.float32)), rest))
+    # momentum conservation: each primitive's weights sum to +/-1
+    np.testing.assert_allclose(f.sum(axis=0), 0.0, atol=2e-4 * np.abs(f).max())
+    # finite-difference gradient of the (frozen-stencil) penalty energy
+    eps = 1e-5
+    probes = rng.choice(n, size=8, replace=False)
+    for v in probes:
+        for k in range(3):
+            pp, pm = p.copy(), p.copy()
+            pp[v, k] += eps
+            pm[v, k] -= eps
+            g = -(_penalty_energy(st, pp, rest) - _penalty_energy(st, pm, rest)) / (2 * eps)
+            assert abs(f[v, k] - g) < 5e-3 * max(np.abs(f).max(), 1.0), (v, k, f[v, k], g)
+
+
+def test_contact_forces_push_apart():
+    """A face-adjacent vertex is pushed along the VF normal (apart)."""
+    from precond_tpu.ops.contact import contact_forces
+
+    st, n = _folded_stencils()
+    mesh = cloth.make_grid(16, 16, z_wave=0.0, mass=0.002)
+    h = 1.0 / 15
+    p = np.asarray(mesh.positions).copy()
+    fold = p[:, 0] > 0.5
+    p[:, 2] = np.where(fold, 0.5 * h, 0.0)
+    p[:, 0] = np.where(fold, 1.0 - p[:, 0], p[:, 0])
+    f = np.asarray(contact_forces(st, jnp.asarray(p.astype(np.float32)), 0.75 * h))
+    assert np.abs(f).max() > 0
+    # the fold gap is along z: upper-half vertices feel net +z, lower -z
+    upper = fold & (np.abs(f).max(axis=1) > 1e-6)
+    lower = ~fold & (np.abs(f).max(axis=1) > 1e-6)
+    assert f[upper, 2].mean() > 0
+    assert f[lower, 2].mean() < 0

@@ -122,3 +122,41 @@ def test_grid_fast_path_matches_generic():
     assert diff < 2e-4 * scale, diff
     assert np.allclose(np.asarray(sf.positions)[pinned],
                        np.asarray(mesh.positions)[pinned])
+
+
+def test_contact_forces_separate_close_sheets():
+    """Penalty forces in the rhs push two too-close sheets apart: the mean
+    inter-layer gap must GROW over steps (Hessians alone only damp relative
+    motion; the rhs term is what resolves proximity violations)."""
+    n = 8
+    m1 = cloth.make_grid(n, n, mass=0.05, dt=1.0 / 60.0,
+                         k_struct=2e3, k_shear=2e3, k_bend=20.0)
+    n1 = m1.num_verts
+    gap0 = 0.006
+    pos = np.concatenate([m1.positions, m1.positions + [0, 0, gap0]]).astype(np.float32)
+    faces = np.concatenate([m1.faces, m1.faces + n1]).astype(np.int32)
+    edges = np.concatenate(
+        [m1.edges, np.where(m1.edges >= 0, m1.edges + n1, -1)]
+    ).astype(np.int32)
+    springs = np.concatenate([m1.springs, m1.springs + n1])
+    stiffness = np.concatenate([m1.stiffness, m1.stiffness])
+    mesh2 = cloth.ClothMesh(pos, edges, faces, springs, stiffness, m1.mass, m1.dt)
+    # pin ALL of the lower sheet so gravity can't move it; the upper sheet
+    # hangs by its x=0 row and is pressed toward the lower only by contacts
+    pinned = np.concatenate([np.arange(n1), n1 + np.arange(n)])
+    sim = ClothSim(
+        mesh2, SchwarzConfig(), gravity=(0.0, 0.0, 0.0), pinned=pinned,
+        collision_stiffness=5e3, collision_threshold=0.015, collision_budget=512,
+        collision_cell_cap=32,
+    )
+    for _ in range(4):
+        st = sim.step()
+        assert np.all(np.isfinite(np.asarray(st.positions)))
+    p = np.asarray(st.positions)
+    gap = p[n1:, 2].mean() - p[:n1, 2].mean()
+    assert gap > gap0 * 1.5, gap  # contacts pushed the layers apart
+    # ... and gently: pinned-eliminated contact Hessians in H bound the
+    # step near the rest gap (an unpinned contact H lets the penalty rhs
+    # overshoot by 100x+ — the sheet would be several mesh-widths away)
+    assert gap < 0.06, gap
+    assert np.abs(np.asarray(st.velocities)).max() < 5.0
