@@ -23,13 +23,17 @@ from precond_tpu.models.simulator import SoftBodySim
 
 DIMS = tuple(int(v) for v in os.environ.get("BOX_DIMS", "8,8,8").split(","))
 FRAMES = int(os.environ.get("FRAMES", "24"))
+# MATERIAL=corotational reassembles the warped-stiffness (ARAP-flavored)
+# Hessian every step — rotation-safe large deformation
+MATERIAL = os.environ.get("MATERIAL", "linear")
 
 mesh = tetmesh.make_box(*DIMS, mass=0.05, youngs=5e4)
 nx, ny, nz = DIMS
 top = np.flatnonzero(np.arange(mesh.num_verts) % nz == nz - 1)
-sim = SoftBodySim(mesh, SchwarzConfig(), pinned=top, max_iters=400)
+sim = SoftBodySim(mesh, SchwarzConfig(), pinned=top, max_iters=400,
+                  material=MATERIAL)
 print(f"box {DIMS} = {mesh.num_verts} verts, {len(mesh.tets)} tets, "
-      f"fast path: {sim._box is not None}")
+      f"material: {MATERIAL}, fast path: {sim._box is not None}")
 
 frames = []
 for f in range(FRAMES):

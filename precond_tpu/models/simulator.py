@@ -34,66 +34,121 @@ class SimState(NamedTuple):
 
 
 class SoftBodySim:
-    """Linear-elastic tet body, implicit Euler, Schwarz-PCG solve.
+    """Tet-body deformable, implicit Euler, Schwarz-PCG solve.
 
-    Small-strain elasticity keeps K constant: H = M/dt^2 + K is assembled
-    once, internal forces are f = -K (x - x0) = -(H - M/dt^2)(x - x0)
-    computed with the same SpMV as the solver — no per-step reassembly.
+    material="linear": small-strain elasticity keeps K constant — H is
+    assembled once, internal forces f = -K (x - x0) reuse the solver SpMV.
+
+    material="corotational": warped-stiffness (ARAP-flavored) elasticity —
+    per-element rotations R from the deformation gradient's polar factor,
+    H = M/dt^2 + sum_e R_e K_e R_e^T reassembled every step (SPD at
+    arbitrary rotations), forces f_a = -sum R K (R^T x - x0). This is the
+    BASELINE "tet-mesh deformable body (ARAP/Neo-Hookean Hessian)" config.
+
+    collision_stiffness > 0 enables self-contact on the surface mesh
+    (VF/EE/EF hash-grid detection on mesh.faces/mesh.edges), with the same
+    treatment as ClothSim: penalty Hessians in H and M (pinned-eliminated
+    via weight masking), gap-aware penalty forces in the rhs.
     """
 
     def __init__(self, mesh, cfg: SchwarzConfig = SchwarzConfig(),
                  gravity=(0.0, 0.0, -9.8), pinned: Optional[np.ndarray] = None,
-                 tol: float = 1e-4, max_iters: int = 400):
+                 tol: float = 1e-4, max_iters: int = 400,
+                 material: str = "linear",
+                 collision_stiffness: float = 0.0,
+                 collision_threshold: float = 0.0,
+                 collision_budget: int = 256,
+                 collision_cell_cap: int = 16,
+                 collision_rest_gap: Optional[float] = None):
         from . import tetmesh as tet_model
 
+        assert material in ("linear", "corotational"), material
         self.mesh = mesh
         self.cfg = cfg
         self.tol = tol
         self.max_iters = max_iters
+        self.material = material
         self.gravity = jnp.asarray(gravity, jnp.float32)
         self.pinned = jnp.zeros((mesh.num_verts,), bool)
         if pinned is not None:
             self.pinned = self.pinned.at[jnp.asarray(pinned)].set(True)
-
-        ell = tet_model.assemble_system(mesh)
-        p = self.pinned
-        touches = p[:, None] | jnp.take(p, ell.idx)
-        big = (mesh.mass / mesh.dt**2) * jnp.eye(3, dtype=jnp.float32)
-        self.ell = ell._replace(
-            blocks=jnp.where(touches[:, :, None, None], 0.0, ell.blocks),
-            diag=jnp.where(p[:, None, None], big, ell.diag),
+        self.collide = collision_stiffness > 0.0
+        self.collision_stiffness = collision_stiffness
+        self.collision_threshold = collision_threshold
+        self.collision_budget = collision_budget
+        self.collision_cell_cap = collision_cell_cap
+        self.collision_rest_gap = (
+            collision_threshold if collision_rest_gap is None else collision_rest_gap
         )
-        # structured-box fast path: analytic 3-D tile ordering (no runtime
-        # sort, arithmetic hierarchy) + gather-free stencil SpMV
+
         from ..utils import boxmorton as bm
 
         self._box = mesh.dims if (mesh.dims and bm.supported(*mesh.dims)) else None
-        self._bsys = None
-        if self._box is not None:
-            from ..ops import boxstencil
-            from ..solver import prepare_box
-
-            self._bsys = jax.jit(
-                lambda e: boxstencil.from_ell(e, self._box)
-            )(self.ell)
-            dgr, drr = jax.jit(
-                lambda e: boxstencil.planes_from_ell(e, self._box)
-            )(self.ell)
-            self._inv96 = jax.jit(
-                lambda a, b: prepare_box(
-                    a, b, boxstencil.BOX_OFFSETS, self._box, cfg
-                )
-            )(dgr, drr)
+        self._static_system = material == "linear" and not self.collide
         self.pre = SchwarzPreconditioner(cfg)
-        if self._box is None:
+        if self._box is not None:
+            # analytic box ordering (topology-derived, never re-sorts);
+            # maps are ARGUMENTS to the jitted step, not baked constants
+            from ..solver import SortMaps
+
+            s2o, o2s = bm.sort_maps(*self._box)
+            self.pre.maps = SortMaps(jnp.asarray(s2o), jnp.asarray(o2s))
+        elif not self._static_system or self._box is None:
+            # general-path sort maps from REST positions (static: domain
+            # quality follows rest-space locality; bodies deform locally)
             self.pre.allocate(mesh.positions)
-            self.pre.prepare(self.ell)
+        # device-resident assembly structure + rest element stiffness
+        idx, mask, off_src, diag_src = tet_model.ell_structure_from_tets(
+            mesh.num_verts, mesh.tets
+        )
+        self._ell_struct = tuple(map(jnp.asarray, (idx, mask, off_src, diag_src)))
+        self._tets_d = jnp.asarray(mesh.tets)
+        self._rest_d = jnp.asarray(mesh.positions)
+        self._faces_d = jnp.asarray(mesh.faces)
+        self._edges_d = jnp.asarray(mesh.edges)
+        self._ke0 = jax.jit(tet_model.element_blocks, static_argnums=(2, 3))(
+            self._rest_d, self._tets_d, mesh.lam, mesh.mu
+        )
+
+        if self._static_system:
+            ell = tet_model.assemble_system(mesh)
+            p = self.pinned
+            touches = p[:, None] | jnp.take(p, ell.idx)
+            big = (mesh.mass / mesh.dt**2) * jnp.eye(3, dtype=jnp.float32)
+            self.ell = ell._replace(
+                blocks=jnp.where(touches[:, :, None, None], 0.0, ell.blocks),
+                diag=jnp.where(p[:, None, None], big, ell.diag),
+            )
+            # structured-box fast path: analytic 3-D tile ordering (no
+            # runtime sort, arithmetic hierarchy) + gather-free SpMV
+            self._bsys = None
+            if self._box is not None:
+                from ..ops import boxstencil
+                from ..solver import prepare_box
+
+                self._bsys = jax.jit(
+                    lambda e: boxstencil.from_ell(e, self._box)
+                )(self.ell)
+                dgr, drr = jax.jit(
+                    lambda e: boxstencil.planes_from_ell(e, self._box)
+                )(self.ell)
+                self._inv96 = jax.jit(
+                    lambda a, b: prepare_box(
+                        a, b, boxstencil.BOX_OFFSETS, self._box, cfg
+                    )
+                )(dgr, drr)
+            else:
+                self.pre.prepare(self.ell)
+        else:
+            self._step_fn = self._build_step()
         self.state = SimState(
             positions=jnp.asarray(mesh.positions),
             velocities=jnp.zeros((mesh.num_verts, 3), jnp.float32),
         )
 
-    def step(self) -> SimState:
+    # -- static-system step (constant K, prepared once) ---------------------
+
+    def _step_static(self) -> SimState:
         x, v = self.state.positions, self.state.velocities
         dt = self.mesh.dt
         m_dt2 = self.mesh.mass / dt**2
@@ -130,6 +185,156 @@ class SoftBodySim:
         self.state = SimState(positions=x_new, velocities=(x_new - x) / dt,
                               step_count=self.state.step_count + 1)
         self.last_solve = res
+        return self.state
+
+    # -- dynamic-system step (corotational and/or colliding) ----------------
+
+    def _build_step(self):
+        """Whole frame as one jitted dispatch: per-element rotations,
+        H reassembly, detection, prepare, PCG (big arrays are arguments)."""
+        from . import tetmesh as tet_model
+        from ..ops.contact import build_contact_ell, contact_forces, contact_spmv
+        from ..ops.stencils import build_stencils
+        from ..solver import prepare_with_system
+
+        cfg = self.cfg
+        dt = self.mesh.dt
+        m_dt2 = self.mesh.mass / dt**2
+        tol, max_iters = self.tol, self.max_iters
+        corot = self.material == "corotational"
+        collide = self.collide
+        box = self._box
+        c_thresh, c_stiff = self.collision_threshold, self.collision_stiffness
+        c_budget, c_cap, c_rest = (
+            self.collision_budget, self.collision_cell_cap, self.collision_rest_gap
+        )
+
+        @jax.jit
+        def step_fn(estruct, ke0, tets, rest, faces, edges, maps, pinned,
+                    gravity, x, v):
+            n = x.shape[0]
+            idx, mask, off_src, diag_src = estruct
+            if corot:
+                r = tet_model.corot_rotations(x, rest, tets)
+                ke = tet_model.element_blocks_corot(ke0, r)
+                f_int = tet_model.corot_forces(ke0, r, x, rest, tets)
+            else:
+                ke = ke0
+                rI = jnp.broadcast_to(jnp.eye(3), (tets.shape[0], 3, 3))
+                f_int = tet_model.corot_forces(ke0, rI, x, rest, tets)
+            ell = tet_model.fill_ell_from_ke(idx, mask, off_src, diag_src, ke, m_dt2)
+            touches = pinned[:, None] | jnp.take(pinned, ell.idx)
+            big = m_dt2 * jnp.eye(3, dtype=jnp.float32)
+            ell = ell._replace(
+                blocks=jnp.where(touches[:, :, None, None], 0.0, ell.blocks),
+                diag=jnp.where(pinned[:, None, None], big, ell.diag),
+            )
+
+            stencils, st_sys, contact, detect_info = None, None, None, None
+            if collide:
+                kv = cfg.max_collision_per_vert
+                vf, i1 = collision_model.detect_vf_grid(
+                    x, faces, c_thresh, c_stiff, c_budget,
+                    per_vertex_cap=kv, cell_cap=c_cap)
+                ee, i2 = collision_model.detect_ee_grid(
+                    x, edges, c_thresh, c_stiff, c_budget,
+                    per_edge_cap=kv, cell_cap=c_cap)
+                ef, i3 = collision_model.detect_ef_grid(
+                    x, edges, faces, c_thresh, c_stiff, c_budget,
+                    per_edge_cap=kv, cell_cap=c_cap)
+                stencils = build_stencils(edges, faces, ef=ef, ee=ee, vf=vf)
+                detect_info = collision_model.DetectInfo(
+                    truncated=i1.truncated | i2.truncated | i3.truncated,
+                    dropped=i1.dropped + i2.dropped + i3.dropped,
+                )
+                # pinned-eliminated contact Hessian (see ClothSim note):
+                # rank-1 in the weights, so masking pinned weights is exact
+                wmask = ~jnp.take(pinned, jnp.clip(stencils.idx, 0, n - 1))
+                st_sys = stencils._replace(
+                    weight=stencils.weight * wmask.astype(jnp.float32)
+                )
+                contact = build_contact_ell(st_sys, n, kc=kv)
+
+            # rhs: inertia target + internal + contact penalty forces
+            y = x + dt * v + dt * dt * gravity[None, :]
+            rhs = m_dt2 * (y - x) + f_int
+            if stencils is not None:
+                rhs = rhs + contact_forces(stencils, x, c_rest)
+            rhs = jnp.where(pinned[:, None], 0.0, rhs)
+
+            if box is not None:
+                from ..ops import boxstencil
+                from ..ops.gridapply import precondition_grid
+                from ..solver import prepare_box
+                from ..utils import boxmorton as bm
+
+                nx, ny, nz = box
+                bsys = boxstencil.from_ell(ell, box)
+                dgr, drr = boxstencil.planes_from_ell(ell, box)
+                inv96 = prepare_box(
+                    dgr, drr, boxstencil.BOX_OFFSETS, box, cfg,
+                    st_sys, maps.orig_to_sorted,
+                )
+                if contact is not None:
+                    spmv_op = lambda p_: (  # noqa: E731
+                        boxstencil.spmv(bsys, p_) + contact_spmv(contact, p_)
+                    )
+                else:
+                    spmv_op = lambda p_: boxstencil.spmv(bsys, p_)  # noqa: E731
+                pre_op = lambda r_: bm.morton_to_box(  # noqa: E731
+                    precondition_grid(
+                        inv96, bm.box_to_morton(r_, nx, ny, nz), cfg
+                    ),
+                    nx, ny, nz,
+                )
+                res = pcg(spmv_op, pre_op, rhs, tol=tol, max_iters=max_iters)
+                x_unsorted = res.x
+            else:
+                from ..ops.apply import precondition_sorted
+
+                state, ells = prepare_with_system(ell, maps, cfg, st_sys)
+                if contact is not None:
+                    mapped = st_sys._replace(
+                        idx=jnp.take(
+                            maps.orig_to_sorted,
+                            jnp.clip(st_sys.idx, 0, n - 1),
+                        )
+                    )
+                    ce_sorted = build_contact_ell(
+                        mapped, n, kc=cfg.max_collision_per_vert
+                    )
+                    spmv_op = lambda p_: (  # noqa: E731
+                        blockcsr.spmv(ells, p_) + contact_spmv(ce_sorted, p_)
+                    )
+                else:
+                    spmv_op = lambda p_: blockcsr.spmv(ells, p_)  # noqa: E731
+                rhs_sorted = jnp.take(rhs, maps.sorted_to_orig, axis=0)
+                res = pcg(
+                    spmv_op,
+                    lambda r_: precondition_sorted(state, r_, cfg),
+                    rhs_sorted, tol=tol, max_iters=max_iters,
+                )
+                x_unsorted = jnp.take(res.x, maps.orig_to_sorted, axis=0)
+
+            dx = jnp.where(pinned[:, None], 0.0, x_unsorted)
+            x_new = x + dx
+            return x_new, (x_new - x) / dt, res, detect_info
+
+        return step_fn
+
+    def step(self) -> SimState:
+        if self._static_system:
+            return self._step_static()
+        x, v = self.state.positions, self.state.velocities
+        x_new, v_new, res, detect_info = self._step_fn(
+            self._ell_struct, self._ke0, self._tets_d, self._rest_d,
+            self._faces_d, self._edges_d, self.pre.maps, self.pinned,
+            self.gravity, x, v,
+        )
+        self.state = SimState(positions=x_new, velocities=v_new,
+                              step_count=self.state.step_count + 1)
+        self.last_solve = res
+        self.last_detect_info = detect_info
         return self.state
 
 

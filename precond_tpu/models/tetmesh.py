@@ -90,7 +90,11 @@ def element_blocks(positions: jnp.ndarray, tets: jnp.ndarray, lam: float, mu: fl
     dm = jnp.stack([x[:, 1] - x[:, 0], x[:, 2] - x[:, 0], x[:, 3] - x[:, 0]], axis=2)  # [T,3,3]
     vol = jnp.abs(jnp.linalg.det(dm)) / 6.0
     dminv = jnp.linalg.inv(dm)                                  # [T,3,3]
-    g123 = jnp.swapaxes(dminv, 1, 2)                            # rows -> gradients of N1..N3
+    # dm's COLUMNS are the edge vectors, so the barycentric map is
+    # xi = dm^-1 (X - x0) and grad N_i is the i-th ROW of dm^-1 (taking
+    # columns instead breaks linear consistency sum_b x_b g_b^T = I on any
+    # element whose dm is not symmetric — axis-aligned tets hid this)
+    g123 = dminv                                                # [T, i, :] = grad N_i
     g0 = -jnp.sum(g123, axis=1, keepdims=True)
     g = jnp.concatenate([g0, g123], axis=1)                     # [T,4,3]
 
@@ -157,11 +161,10 @@ def ell_structure_from_tets(n: int, tets: np.ndarray):
     return idx, mask, off_src, diag_src.astype(np.int32)
 
 
-def fill_ell_tets(idx, mask, off_src, diag_src, positions, tets, lam, mu,
-                  mass_over_dt2) -> BlockEll:
-    """Jittable device assembly: element blocks -> ELL via contributor
-    gathers (the multi-contributor analogue of cloth's slot->spring table)."""
-    ke = element_blocks(positions, tets, lam, mu)            # [T,4,4,3,3]
+def fill_ell_from_ke(idx, mask, off_src, diag_src, ke, mass_over_dt2) -> BlockEll:
+    """Jittable device assembly from per-element blocks [T,4,4,3,3]: ELL via
+    contributor gathers (the multi-contributor analogue of cloth's
+    slot->spring table)."""
     ke_flat = jnp.concatenate(
         [ke.reshape(-1, 3, 3), jnp.zeros((1, 3, 3), ke.dtype)]
     )
@@ -173,6 +176,65 @@ def fill_ell_tets(idx, mask, off_src, diag_src, positions, tets, lam, mu,
         jnp.take(ke_flat, jnp.minimum(diag_src, pad), axis=0), axis=1
     )
     return BlockEll(diag=diag, idx=idx, blocks=blocks, mask=mask)
+
+
+def fill_ell_tets(idx, mask, off_src, diag_src, positions, tets, lam, mu,
+                  mass_over_dt2) -> BlockEll:
+    """Linear-elastic device assembly (constant K, evaluated at `positions`)."""
+    ke = element_blocks(positions, tets, lam, mu)            # [T,4,4,3,3]
+    return fill_ell_from_ke(idx, mask, off_src, diag_src, ke, mass_over_dt2)
+
+
+def corot_rotations(x: jnp.ndarray, rest: jnp.ndarray, tets: jnp.ndarray) -> jnp.ndarray:
+    """Per-element polar rotations R of the deformation gradient. [T,3,3].
+
+    F = Ds(x) Dm(rest)^-1; R from the SVD polar decomposition with the
+    reflection fix (det R = +1 even for inverted elements), the standard
+    corotational extraction.
+    """
+    xs = jnp.take(x, tets, axis=0)                              # [T,4,3]
+    rs = jnp.take(rest, tets, axis=0)
+    ds = jnp.stack([xs[:, 1] - xs[:, 0], xs[:, 2] - xs[:, 0], xs[:, 3] - xs[:, 0]], axis=2)
+    dm = jnp.stack([rs[:, 1] - rs[:, 0], rs[:, 2] - rs[:, 0], rs[:, 3] - rs[:, 0]], axis=2)
+    f = ds @ jnp.linalg.inv(dm)                                 # [T,3,3]
+    u, _, vt = jnp.linalg.svd(f)
+    det = jnp.linalg.det(u @ vt)
+    l = jnp.broadcast_to(jnp.eye(3, dtype=f.dtype), f.shape)
+    l = l.at[:, 2, 2].set(det)                                  # reflection fix
+    return u @ l @ vt
+
+
+def element_blocks_corot(
+    ke0: jnp.ndarray, r: jnp.ndarray
+) -> jnp.ndarray:
+    """Warped-stiffness element blocks: ke'_ab = R ke0_ab R^T. [T,4,4,3,3].
+
+    The corotational (ARAP-flavored) Gauss-Newton Hessian: rotating the
+    rest-state stiffness by the element's current rotation keeps the
+    per-element blocks SPD (R K R^T with K SPD), so H = M/dt^2 + sum_e
+    R_e K_e R_e^T stays a valid CG system at arbitrary rotations — unlike
+    the small-strain K, which fights rigid rotation with spurious forces.
+    """
+    return jnp.einsum(
+        "tij,tabjk,tlk->tabil", r, ke0, r, preferred_element_type=jnp.float32
+    )
+
+
+def corot_forces(
+    ke0: jnp.ndarray, r: jnp.ndarray, x: jnp.ndarray, rest: jnp.ndarray,
+    tets: jnp.ndarray,
+) -> jnp.ndarray:
+    """Corotational internal forces f_a = -sum_b R ke0_ab (R^T x_b - x0_b),
+    scattered per vertex. -> f32[N,3]. Exact zero on rigid motions."""
+    n = x.shape[0]
+    xs = jnp.take(x, tets, axis=0)                              # [T,4,3]
+    rs = jnp.take(rest, tets, axis=0)
+    dloc = jnp.einsum("tji,tbj->tbi", r, xs) - rs               # R^T x_b - x0_b
+    fe = -jnp.einsum(
+        "tij,tabjk,tbk->tai", r, ke0, dloc, preferred_element_type=jnp.float32
+    )                                                           # [T,4,3]
+    tgt, fv = jax.lax.optimization_barrier((tets.reshape(-1), fe.reshape(-1, 3)))
+    return jnp.zeros((n + 1, 3), jnp.float32).at[tgt].add(fv, mode="drop")[:n]
 
 
 def assemble_system(mesh: TetMesh, positions: np.ndarray | None = None) -> BlockEll:

@@ -49,13 +49,31 @@ def prepare_box(
     offsets,                  # static tuple of (di, dj, dk)
     dims,                     # static (nx, ny, nz)
     cfg: SchwarzConfig,
+    stencils: Optional[Stencils] = None,  # ORIGINAL (box) vertex ids
+    o2s: Optional[jnp.ndarray] = None,    # box->tile map (required w/ stencils)
 ) -> jnp.ndarray:
     """3-D twin of prepare_grid for tet boxes: static assembly over the
     analytic box ordering (utils/boxmorton.py) + factorization -> inv96.
-    Apply with ops.gridapply.precondition_grid on box_to_morton vectors."""
+    Apply with ops.gridapply.precondition_grid on box_to_morton vectors.
+
+    Collision stencils ride the same static hierarchy as on 2-D grids
+    (every box bank is one fully-merged cluster, so contact connectivity
+    is absorbed); their Hessian terms enter via arithmetic climbs."""
     from .ops.gridassembly import assemble_box_hessian
 
-    h96 = assemble_box_hessian(diag_rows, dirs_rows, offsets, dims, cfg)
+    terms = None
+    if stencils is not None:
+        assert o2s is not None, "pass the box->tile map with stencils"
+        n = diag_rows.shape[0]
+        mapped = stencils._replace(
+            idx=jnp.where(
+                stencils.valid[:, None] & (jnp.arange(5) < stencils.nverts[:, None]),
+                jnp.take(o2s, jnp.clip(stencils.idx, 0, n - 1)),
+                0,
+            )
+        )
+        terms = collision_terms(mapped)
+    h96 = assemble_box_hessian(diag_rows, dirs_rows, offsets, dims, cfg, terms)
     if cfg.inverse_kernel == "pallas" and jax.default_backend() != "cpu":
         from .ops.pallas.chol_inverse import invert_spd_blocks_chol
 

@@ -116,3 +116,45 @@ def test_prepare_box_solves():
                       tol=1e-4, max_iters=300)
     )(b)
     assert float(res.rel_residual) <= 1e-4 * 1.01
+
+
+def test_prepare_box_with_stencils_matches_general():
+    """Collision terms on the 3-D box path: arithmetic climbs must
+    reproduce the general assembly exactly (clustering is invariant)."""
+    from precond_tpu.models import collision as coll
+    from precond_tpu.ops.stencils import build_stencils
+    from precond_tpu.ops import boxstencil
+    from precond_tpu.solver import prepare_box
+
+    dims = (8, 8, 8)
+    cfg = SchwarzConfig()
+    mesh = tetmesh.make_box(*dims, mass=0.05, youngs=5e4)
+    n = mesh.num_verts
+    ell = tetmesh.assemble_system(mesh)
+    pos = jnp.asarray(mesh.positions)
+    fj, ej = jnp.asarray(mesh.faces), jnp.asarray(mesh.edges)
+    # over-wide threshold: non-incident surface pairs across box edges
+    # produce real stencils (physicality is irrelevant to assembly equality)
+    h = 1.0 / 7
+    vf, _ = coll.detect_vf_grid(pos, fj, 1.2 * h, 1e3, 256, per_vertex_cap=4)
+    ee, _ = coll.detect_ee_grid(pos, ej, 1.2 * h, 1e3, 256, per_edge_cap=4)
+    stencils = build_stencils(ej, fj, ee=ee, vf=vf)
+    assert int(np.asarray(stencils.valid).sum()) > 0, "fixture found no contacts"
+
+    s2o, o2s = bm.sort_maps(*dims)
+    maps = SortMaps(jnp.asarray(s2o), jnp.asarray(o2s))
+    state, _ = jax.jit(lambda e, m, s: prepare_with_system(e, m, cfg, s))(
+        ell, maps, stencils
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state.going_next), np.asarray(grid_going_next(n, cfg))
+    )
+    dgr, drr = jax.jit(lambda e: boxstencil.planes_from_ell(e, dims))(ell)
+    inv96 = jax.jit(
+        lambda dg, dr, s, o: prepare_box(
+            dg, dr, boxstencil.BOX_OFFSETS, dims, cfg, s, o
+        )
+    )(dgr, drr, stencils, jnp.asarray(o2s))
+    np.testing.assert_allclose(
+        np.asarray(inv96), np.asarray(state.inv96), rtol=2e-4, atol=1e-5
+    )

@@ -58,3 +58,70 @@ def test_pcg_on_soft_body():
     rj = pcg(spmv, jacobi_preconditioner(ell.diag), b, tol=1e-4, max_iters=2000)
     assert float(rs.rel_residual) <= 1e-4
     assert int(rs.iterations) < int(rj.iterations)
+
+
+def test_element_stiffness_annihilates_rigid_modes():
+    """Every element K must annihilate translations AND infinitesimal
+    rotations (the 6-dim rigid null space of linear elasticity). Catches
+    the gradient-convention bug: grad N_i is the i-th ROW of Dm^-1; using
+    columns breaks this on any element whose Dm is not symmetric."""
+    mesh = tetmesh.make_box(3, 3, 3, youngs=1e4)
+    rest = jnp.asarray(mesh.positions)
+    tets = jnp.asarray(mesh.tets)
+    ke = np.asarray(tetmesh.element_blocks(rest, tets, mesh.lam, mesh.mu)).astype(np.float64)
+    w = np.array([[0, -0.3, 0.2], [0.3, 0, -0.1], [-0.2, 0.1, 0]])
+    scale = np.abs(ke).max()
+    for t in range(len(mesh.tets)):
+        k12 = ke[t].transpose(0, 2, 1, 3).reshape(12, 12)
+        x0 = mesh.positions[mesh.tets[t]].astype(np.float64)
+        u_rot = (w @ x0.T).T.reshape(-1)
+        u_trn = np.tile([1.0, 2.0, 3.0], 4)
+        assert np.abs(k12 @ u_rot).max() < 1e-5 * scale, t
+        assert np.abs(k12 @ u_trn).max() < 1e-5 * scale, t
+
+
+def test_corot_rest_and_rigid_motion():
+    """Corotational blocks/forces: identity at rest; zero forces and
+    R-conjugated blocks under rigid motion (where the linear model
+    produces large spurious forces)."""
+    mesh = tetmesh.make_box(3, 3, 3, youngs=1e4)
+    rest = jnp.asarray(mesh.positions)
+    tets = jnp.asarray(mesh.tets)
+    ke0 = tetmesh.element_blocks(rest, tets, mesh.lam, mesh.mu)
+
+    r = tetmesh.corot_rotations(rest, rest, tets)
+    assert float(jnp.abs(r - jnp.eye(3)).max()) < 1e-5
+    f0 = tetmesh.corot_forces(ke0, r, rest, rest, tets)
+    assert float(jnp.abs(f0).max()) == 0.0
+
+    th = 0.7
+    rot = np.array(
+        [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]],
+        np.float32,
+    )
+    xr = rest @ rot.T + jnp.asarray([0.3, -0.2, 0.5])
+    rr = tetmesh.corot_rotations(xr, rest, tets)
+    assert float(jnp.abs(rr - jnp.asarray(rot)).max()) < 1e-5
+    fr = tetmesh.corot_forces(ke0, rr, xr, rest, tets)
+    scale = float(jnp.abs(ke0).max())
+    assert float(jnp.abs(fr).max()) < 1e-5 * scale
+    ker = tetmesh.element_blocks_corot(ke0, rr)
+    want = jnp.einsum("ij,tabjk,lk->tabil", jnp.asarray(rot), ke0, jnp.asarray(rot))
+    assert float(jnp.abs(ker - want).max()) < 1e-4 * scale
+
+
+def test_corot_matches_linear_to_first_order():
+    mesh = tetmesh.make_box(3, 3, 3, youngs=1e4)
+    rest = jnp.asarray(mesh.positions)
+    tets = jnp.asarray(mesh.tets)
+    ke0 = tetmesh.element_blocks(rest, tets, mesh.lam, mesh.mu)
+    rng = np.random.default_rng(0)
+    dx = (1e-4 * rng.standard_normal(mesh.positions.shape)).astype(np.float32)
+    xs = rest + dx
+    r = tetmesh.corot_rotations(xs, rest, tets)
+    fc = tetmesh.corot_forces(ke0, r, xs, rest, tets)
+    ell = tetmesh.assemble_system(mesh)
+    flin = -(blockcsr.spmv(ell, jnp.asarray(dx))
+             - (mesh.mass / mesh.dt**2) * jnp.asarray(dx))
+    scale = float(jnp.abs(flin).max())
+    assert float(jnp.abs(fc - flin).max()) < 2e-3 * scale
