@@ -42,8 +42,13 @@ class SoftBodySim:
     material="corotational": warped-stiffness (ARAP-flavored) elasticity —
     per-element rotations R from the deformation gradient's polar factor,
     H = M/dt^2 + sum_e R_e K_e R_e^T reassembled every step (SPD at
-    arbitrary rotations), forces f_a = -sum R K (R^T x - x0). This is the
-    BASELINE "tet-mesh deformable body (ARAP/Neo-Hookean Hessian)" config.
+    arbitrary rotations), forces f_a = -sum R K (R^T x - x0).
+
+    material="neohookean": stable Neo-Hookean (Smith, de Goes & Kim 2018)
+    — exact autodiff forces and eigen-projected SPD element Hessians
+    reassembled every step; finite through inversion. Together these are
+    the BASELINE "tet-mesh deformable body (ARAP/Neo-Hookean Hessian)"
+    config.
 
     collision_stiffness > 0 enables self-contact on the surface mesh
     (VF/EE/EF hash-grid detection on mesh.faces/mesh.edges), with the same
@@ -62,7 +67,7 @@ class SoftBodySim:
                  collision_rest_gap: Optional[float] = None):
         from . import tetmesh as tet_model
 
-        assert material in ("linear", "corotational"), material
+        assert material in ("linear", "corotational", "neohookean"), material
         self.mesh = mesh
         self.cfg = cfg
         self.tol = tol
@@ -201,7 +206,8 @@ class SoftBodySim:
         dt = self.mesh.dt
         m_dt2 = self.mesh.mass / dt**2
         tol, max_iters = self.tol, self.max_iters
-        corot = self.material == "corotational"
+        material = self.material
+        lam, mu = self.mesh.lam, self.mesh.mu
         collide = self.collide
         box = self._box
         c_thresh, c_stiff = self.collision_threshold, self.collision_stiffness
@@ -214,10 +220,13 @@ class SoftBodySim:
                     gravity, x, v):
             n = x.shape[0]
             idx, mask, off_src, diag_src = estruct
-            if corot:
+            if material == "corotational":
                 r = tet_model.corot_rotations(x, rest, tets)
                 ke = tet_model.element_blocks_corot(ke0, r)
                 f_int = tet_model.corot_forces(ke0, r, x, rest, tets)
+            elif material == "neohookean":
+                ke = tet_model.snh_element_blocks(x, rest, tets, lam, mu)
+                f_int = tet_model.snh_forces(x, rest, tets, lam, mu)
             else:
                 ke = ke0
                 rI = jnp.broadcast_to(jnp.eye(3), (tets.shape[0], 3, 3))

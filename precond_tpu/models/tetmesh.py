@@ -220,6 +220,83 @@ def element_blocks_corot(
     )
 
 
+def _shape_grads(rest: jnp.ndarray, tets: jnp.ndarray):
+    """Per-element shape gradients g [T,4,3], volumes [T], Dm^-1 [T,3,3]."""
+    rs = jnp.take(rest, tets, axis=0)
+    dm = jnp.stack([rs[:, 1] - rs[:, 0], rs[:, 2] - rs[:, 0], rs[:, 3] - rs[:, 0]], axis=2)
+    vol = jnp.abs(jnp.linalg.det(dm)) / 6.0
+    dminv = jnp.linalg.inv(dm)
+    g123 = dminv
+    g0 = -jnp.sum(g123, axis=1, keepdims=True)
+    return jnp.concatenate([g0, g123], axis=1), vol, dminv
+
+
+def _snh_psi(f: jnp.ndarray, lam: float, mu: float) -> jnp.ndarray:
+    """Stable Neo-Hookean energy density (Smith, de Goes & Kim 2018):
+
+        psi = mu/2 (I_C - 3) + lam/2 (J - alpha)^2,  alpha = 1 + mu/lam
+
+    The alpha shift makes the rest state (F = I) a stationary point without
+    the non-smooth log(J) barrier, and psi stays finite (and meaningful)
+    through inversion — the property that makes it the production choice
+    for large-deformation solids.
+    """
+    alpha = 1.0 + mu / lam
+    ic = jnp.sum(f * f)
+    j = jnp.linalg.det(f)
+    return 0.5 * mu * (ic - 3.0) + 0.5 * lam * (j - alpha) ** 2
+
+
+def snh_forces(
+    x: jnp.ndarray, rest: jnp.ndarray, tets: jnp.ndarray, lam: float, mu: float
+) -> jnp.ndarray:
+    """Exact stable-Neo-Hookean internal forces f = -dE/dx. -> f32[N,3]."""
+
+    def energy(xx):
+        xs = jnp.take(xx, tets, axis=0)
+        g, vol, dminv = _shape_grads(rest, tets)
+        ds = jnp.stack(
+            [xs[:, 1] - xs[:, 0], xs[:, 2] - xs[:, 0], xs[:, 3] - xs[:, 0]], axis=2
+        )
+        f = ds @ dminv
+        return jnp.sum(vol * jax.vmap(_snh_psi, in_axes=(0, None, None))(f, lam, mu))
+
+    return -jax.grad(energy)(x)
+
+
+def snh_element_blocks(
+    x: jnp.ndarray, rest: jnp.ndarray, tets: jnp.ndarray, lam: float, mu: float,
+    eig_floor: float = 0.0,
+) -> jnp.ndarray:
+    """SPD-projected stable-Neo-Hookean element Hessians. [T,4,4,3,3].
+
+    The exact 9x9 energy-density Hessian d2psi/dF2 (autodiff) is indefinite
+    under compression; each element's is eigen-projected to PSD (eigenvalue
+    clamp at `eig_floor`) — the standard Newton-PCG treatment that keeps
+    H = M/dt^2 + K solvable by CG at every state. Element 12x12 blocks are
+    ke_ab = vol * g_a^T H9 g_b contracted over the F indices (B = dvecF/dx
+    is constant per element: dF_iJ/dx_bk = delta_ik g_bJ).
+    """
+    g, vol, dminv = _shape_grads(rest, tets)
+    xs = jnp.take(x, tets, axis=0)
+    ds = jnp.stack(
+        [xs[:, 1] - xs[:, 0], xs[:, 2] - xs[:, 0], xs[:, 3] - xs[:, 0]], axis=2
+    )
+    f = ds @ dminv                                              # [T,3,3]
+    h9 = jax.vmap(jax.hessian(_snh_psi), in_axes=(0, None, None))(f, lam, mu)
+    h9 = h9.reshape(-1, 9, 9)
+    h9 = 0.5 * (h9 + jnp.swapaxes(h9, 1, 2))
+    w, v = jnp.linalg.eigh(h9)
+    h9 = jnp.einsum(
+        "tik,tk,tjk->tij", v, jnp.maximum(w, eig_floor), v,
+        preferred_element_type=jnp.float32,
+    ).reshape(-1, 3, 3, 3, 3)                                   # [T,i,J,k,L]
+    ke = jnp.einsum(
+        "taJ,tiJkL,tbL->tabik", g, h9, g, preferred_element_type=jnp.float32
+    )
+    return vol[:, None, None, None, None] * ke
+
+
 def corot_forces(
     ke0: jnp.ndarray, r: jnp.ndarray, x: jnp.ndarray, rest: jnp.ndarray,
     tets: jnp.ndarray,

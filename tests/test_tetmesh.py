@@ -125,3 +125,81 @@ def test_corot_matches_linear_to_first_order():
              - (mesh.mass / mesh.dt**2) * jnp.asarray(dx))
     scale = float(jnp.abs(flin).max())
     assert float(jnp.abs(fc - flin).max()) < 2e-3 * scale
+
+
+def test_stable_neohookean_forces_and_hessian():
+    """Stable Neo-Hookean (Smith et al. 2018): zero forces at rest and
+    under rigid motion; forces are the exact energy gradient (FD); the
+    eig-projected assembled H stays SPD under heavy compression."""
+    mesh = tetmesh.make_box(3, 3, 3, youngs=1e4)
+    rest = jnp.asarray(mesh.positions)
+    tets = jnp.asarray(mesh.tets)
+    lam, mu = mesh.lam, mesh.mu
+
+    f0 = tetmesh.snh_forces(rest, rest, tets, lam, mu)
+    assert float(jnp.abs(f0).max()) < 1e-3
+
+    th = 0.7
+    rot = np.array(
+        [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]],
+        np.float32,
+    )
+    xr = rest @ jnp.asarray(rot).T + jnp.asarray([0.3, -0.2, 0.5])
+    fr = tetmesh.snh_forces(xr, rest, tets, lam, mu)
+    assert float(jnp.abs(fr).max()) < 0.1  # f32 roundoff vs lam~1e4
+
+    # finite-difference gradient check at a deformed state (f64 oracle)
+    rng = np.random.default_rng(0)
+    x = np.asarray(rest, np.float64) + 0.05 * rng.standard_normal(rest.shape)
+    f = np.asarray(tetmesh.snh_forces(jnp.asarray(x, jnp.float32), rest, tets, lam, mu))
+
+    def energy(xx):
+        xs = xx[mesh.tets]
+        rs = np.asarray(rest, np.float64)[mesh.tets]
+        dm = np.stack([rs[:, 1] - rs[:, 0], rs[:, 2] - rs[:, 0], rs[:, 3] - rs[:, 0]], axis=2)
+        ds = np.stack([xs[:, 1] - xs[:, 0], xs[:, 2] - xs[:, 0], xs[:, 3] - xs[:, 0]], axis=2)
+        fg = ds @ np.linalg.inv(dm)
+        vol = np.abs(np.linalg.det(dm)) / 6
+        alpha = 1 + mu / lam
+        ic = (fg * fg).sum((1, 2))
+        jdet = np.linalg.det(fg)
+        return float((vol * (0.5 * mu * (ic - 3) + 0.5 * lam * (jdet - alpha) ** 2)).sum())
+
+    eps = 1e-6
+    for v, k in [(3, 0), (10, 2), (20, 1)]:
+        xp, xm = x.copy(), x.copy()
+        xp[v, k] += eps
+        xm[v, k] -= eps
+        fd = -(energy(xp) - energy(xm)) / (2 * eps)
+        assert abs(f[v, k] - fd) < 5e-3 * max(abs(fd), 1.0), (v, k, f[v, k], fd)
+
+    # SPD projection under 60% compression
+    xc = rest * jnp.asarray([1.0, 1.0, 0.4])
+    ke = tetmesh.snh_element_blocks(xc, rest, tets, lam, mu)
+    idx, mask, off_src, diag_src = tetmesh.ell_structure_from_tets(mesh.num_verts, mesh.tets)
+    ell = tetmesh.fill_ell_from_ke(
+        jnp.asarray(idx), jnp.asarray(mask), jnp.asarray(off_src),
+        jnp.asarray(diag_src), ke, mesh.mass / mesh.dt**2,
+    )
+    n = mesh.num_verts
+    h = np.zeros((3 * n, 3 * n))
+    bl, ix, mk, dg = map(np.asarray, (ell.blocks, ell.idx, ell.mask, ell.diag))
+    for i in range(n):
+        h[3 * i : 3 * i + 3, 3 * i : 3 * i + 3] += dg[i]
+        for s in range(ix.shape[1]):
+            if mk[i, s]:
+                j = ix[i, s]
+                h[3 * i : 3 * i + 3, 3 * j : 3 * j + 3] += bl[i, s]
+    assert np.linalg.eigvalsh(0.5 * (h + h.T)).min() > 0
+
+
+def test_soft_body_neohookean_steps():
+    from precond_tpu.models.simulator import SoftBodySim
+
+    mesh = tetmesh.make_box(8, 8, 4, mass=0.05, youngs=5e4)
+    base = np.flatnonzero(np.asarray(mesh.positions)[:, 2] < 1e-6)
+    sim = SoftBodySim(mesh, SchwarzConfig(), pinned=base, material="neohookean")
+    for _ in range(3):
+        st = sim.step()
+        assert np.all(np.isfinite(np.asarray(st.positions)))
+        assert float(sim.last_solve.rel_residual) <= 1e-4
