@@ -28,6 +28,12 @@ import numpy as np
 
 def main():
     import jax
+
+    # honor JAX_PLATFORMS even when a platform plugin (axon) outranks the
+    # env var — otherwise a "CPU" run silently grabs (or hangs on) the
+    # tunneled TPU
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from precond_tpu.config import SchwarzConfig
@@ -66,7 +72,36 @@ def main():
         side = int(os.environ.get("BENCH_TET", "32"))
         tmesh = tetmesh.make_box(side, side, side, mass=mass * 50, youngs=5e4)
         n = tmesh.num_verts
-        ell = tetmesh.assemble_system(tmesh)
+        # BENCH_MATERIAL selects the constitutive model that assembles the
+        # system handed to prepare (assembly is the host's job in the
+        # reference — cpp:67-72 — so it stays outside the timed phase):
+        # linear (rest K), corotational (warped stiffness at a twisted
+        # state), neohookean (eig-projected SPD Hessian at that state).
+        bmat = os.environ.get("BENCH_MATERIAL", "linear")
+        if bmat == "linear":
+            ell = tetmesh.assemble_system(tmesh)
+        else:
+            rest = jnp.asarray(tmesh.positions)
+            tets = jnp.asarray(tmesh.tets)
+            th = 0.3 * rest[:, 2] / rest[:, 2].max()  # twist about z
+            xd = jnp.stack(
+                [
+                    jnp.cos(th) * rest[:, 0] - jnp.sin(th) * rest[:, 1],
+                    jnp.sin(th) * rest[:, 0] + jnp.cos(th) * rest[:, 1],
+                    rest[:, 2],
+                ],
+                axis=1,
+            )
+            estruct = tetmesh.ell_structure_from_tets(n, tmesh.tets)
+            if bmat == "corotational":
+                ke0 = tetmesh.element_blocks(rest, tets, tmesh.lam, tmesh.mu)
+                r = tetmesh.corot_rotations(xd, rest, tets)
+                ke = tetmesh.element_blocks_corot(ke0, r)
+            else:
+                ke = tetmesh.snh_element_blocks(xd, rest, tets, tmesh.lam, tmesh.mu)
+            ell = jax.jit(tetmesh.fill_ell_from_ke)(
+                *map(jnp.asarray, estruct), ke, tmesh.mass / tmesh.dt**2
+            )
         positions = tmesh.positions
         if bm.supported(side, side, side) and os.environ.get("BENCH_BOXMORTON", "1") != "0":
             s2o, o2s = bm.sort_maps(side, side, side)
