@@ -345,6 +345,12 @@ def main():
 
         def spmv_fn(op, v):
             return gridstencil.spmv(op[0], v) + contact_spmv(op[1], v)
+    elif ssys is not None and os.environ.get("BENCH_SPMV_PALLAS", "0") == "1":
+        # fused one-pass Pallas stencil SpMV (A/B hook vs the einsum form)
+        from precond_tpu.ops.pallas.stencil_spmv import spmv_system
+
+        interp = jax.default_backend() == "cpu"
+        spmv_fn = lambda op, v: spmv_system(op, v, interpret=interp)  # noqa: E731
     elif ssys is not None:
         spmv_fn = gridstencil.spmv
     elif bsys is not None:
