@@ -52,6 +52,88 @@ def grid_solve_step(
     )
 
 
+def grid_contact_solve_step(
+    ssys: StencilSystem,
+    diag_rows: jnp.ndarray,
+    dirs_rows: jnp.ndarray,
+    b: jnp.ndarray,
+    stencils,
+    ce,
+    o2s: jnp.ndarray,
+    offsets,
+    k: int,
+    cfg: SchwarzConfig,
+    tol: float = 1e-4,
+    max_iters: int = 200,
+) -> PcgResult:
+    """Contact-enabled grid solve: stencil Hessians in M (arithmetic
+    climbs inside prepare_grid), contact ELL in the solved system."""
+    from ..ops.contact import contact_spmv
+
+    inv96 = prepare_grid(diag_rows, dirs_rows, offsets, k, cfg, stencils, o2s)
+
+    def pre_op(r):
+        rs = gm.grid_to_morton(r, k)
+        return gm.morton_to_grid(precondition_grid(inv96, rs, cfg), k)
+
+    return pcg(
+        lambda v: gridstencil.spmv(ssys, v) + contact_spmv(ce, v), pre_op, b,
+        tol=tol, max_iters=max_iters,
+    )
+
+
+def sharded_grid_contact_solve_step(
+    mesh: Mesh, cfg: SchwarzConfig, offsets, k: int, axis: str = "x",
+    tol: float = 1e-4, max_iters: int = 200,
+):
+    """Contact-enabled sharded grid solve.
+
+    The fine vertex axis shards as in sharded_grid_solve_step; collision
+    state (stencils, contact ELL, the grid->tile map) is REPLICATED — the
+    contact set is O(contacts), tiny next to the sharded system, and its
+    scatter targets cross shard boundaries, so replication + XLA's
+    automatic collectives beat any manual distribution at realistic
+    contact densities.
+    """
+    row = NamedSharding(mesh, P(axis))
+    d_row = NamedSharding(mesh, P(None, axis))
+    vm3 = NamedSharding(mesh, P(None, None, axis))
+    vm4 = NamedSharding(mesh, P(None, None, None, axis))
+    rep = NamedSharding(mesh, P())
+
+    def step(ssys, diag_rows, dirs_rows, b, stencils, ce, o2s):
+        return grid_contact_solve_step(
+            ssys, diag_rows, dirs_rows, b, stencils, ce, o2s,
+            offsets, k, cfg, tol=tol, max_iters=max_iters,
+        )
+
+    grid_shape = (1 << k, 1 << k)
+    return jax.jit(
+        step,
+        in_shardings=(
+            StencilSystem(vm3, vm4, offsets, grid_shape, sym=False),
+            row, d_row, row,
+            jax.tree.map(lambda _: rep, _stencils_struct()),
+            jax.tree.map(lambda _: rep, _ce_struct()),
+            rep,
+        ),
+        out_shardings=PcgResult(x=row, iterations=rep, rel_residual=rep),
+    )
+
+
+def _stencils_struct():
+    from ..ops.stencils import empty_stencils
+
+    return empty_stencils()
+
+
+def _ce_struct():
+    from ..ops.contact import ContactEll
+
+    z = jnp.zeros(())
+    return ContactEll(rows=z, idx=z, blocks=z, mask=z, diag=z, dropped=z)
+
+
 def sharded_grid_solve_step(mesh: Mesh, cfg: SchwarzConfig, offsets, k: int,
                             axis: str = "x", tol: float = 1e-4,
                             max_iters: int = 200, sym: bool = False):

@@ -39,3 +39,59 @@ def test_sharded_grid_solve_matches_single_device(sym):
     x1, x8 = np.asarray(res1.x), np.asarray(res8.x)
     scale = np.abs(x1).max()
     np.testing.assert_allclose(x8, x1, rtol=0, atol=5e-4 * scale)
+
+
+def test_sharded_grid_contact_solve_matches_single_device():
+    """Contact-enabled GSPMD grid solve (folded self-colliding sheet):
+    stencil terms in M, contact ELL in H, collision state replicated."""
+    from precond_tpu.models import collision as coll
+    from precond_tpu.ops.contact import build_contact_ell
+    from precond_tpu.ops.stencils import build_stencils
+    from precond_tpu.parallel.gridsharded import (
+        grid_contact_solve_step, sharded_grid_contact_solve_step,
+    )
+    from precond_tpu.utils import gridmorton as gm
+
+    k, grid = 5, 32
+    cfg = SchwarzConfig()
+    mesh_c = cloth.make_grid(grid, grid, z_wave=0.0, mass=0.001, dt=1.0 / 60.0)
+    n = mesh_c.num_verts
+    h = 1.0 / (grid - 1)
+    p = np.asarray(mesh_c.positions).copy()
+    fold = p[:, 0] > 0.5
+    p[:, 2] = np.where(fold, 0.5 * h, 0.0)
+    p[:, 0] = np.where(fold, 1.0 - p[:, 0], p[:, 0]).astype(np.float32)
+    pos = jnp.asarray(p.astype(np.float32))
+    fj, ej = jnp.asarray(mesh_c.faces), jnp.asarray(mesh_c.edges)
+    vf, _ = coll.detect_vf_grid(pos, fj, 0.75 * h, 1e3, n // 4, per_vertex_cap=2)
+    ee, _ = coll.detect_ee_grid(pos, ej, 0.75 * h, 1e3, n // 4, per_edge_cap=2)
+    stencils = build_stencils(ej, fj, ee=ee, vf=vf)
+    assert int(np.asarray(stencils.valid).sum()) > 0
+    ce = build_contact_ell(stencils, n, kc=16)
+
+    ssys = cloth.assemble_system_stencil(mesh_c, positions=p)
+    diag_rows, dirs_rows, full_offsets = cloth.assemble_system_grid(
+        mesh_c, positions=p
+    )
+    s2o, o2s = gm.sort_maps(k)
+    o2s = jnp.asarray(o2s)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+
+    res1 = jax.jit(
+        lambda s, dg, dr, b, st, c, o: grid_contact_solve_step(
+            s, dg, dr, b, st, c, o, full_offsets, k, cfg,
+            tol=1e-5, max_iters=400,
+        )
+    )(ssys, diag_rows, dirs_rows, b, stencils, ce, o2s)
+
+    mesh = make_mesh()
+    step = sharded_grid_contact_solve_step(
+        mesh, cfg, ssys.offsets, k, tol=1e-5, max_iters=400
+    )
+    res8 = step(ssys, diag_rows, dirs_rows, b, stencils, ce, o2s)
+
+    assert int(res8.iterations) <= int(res1.iterations) + 5
+    x1, x8 = np.asarray(res1.x), np.asarray(res8.x)
+    scale = np.abs(x1).max()
+    np.testing.assert_allclose(x8, x1, rtol=0, atol=5e-4 * scale)
