@@ -360,27 +360,40 @@ def main():
     else:
         spmv_fn = blockcsr.spmv
 
-    def k_iterations(op, state, b):
-        def body(_, carry):
-            x, r, p, z, rz = carry
-            q = spmv_fn(op, p)
-            alpha = rz / jnp.sum(p * q)
-            x = x + alpha * p
-            r = r - alpha * q
-            z = pre_op(state, r)
-            rz_new = jnp.sum(r * z)
-            p = z + (rz_new / rz) * p
-            return (x, r, p, z, rz_new)
+    def k_iterations(k):
+        def run(op, state, b):
+            def body(_, carry):
+                x, r, p, z, rz = carry
+                q = spmv_fn(op, p)
+                alpha = rz / jnp.sum(p * q)
+                x = x + alpha * p
+                r = r - alpha * q
+                z = pre_op(state, r)
+                rz_new = jnp.sum(r * z)
+                p = z + (rz_new / rz) * p
+                return (x, r, p, z, rz_new)
 
-        z0 = pre_op(state, b)
-        init = (jnp.zeros_like(b), b, z0, z0, jnp.sum(b * z0))
-        return jax.lax.fori_loop(0, iters, body, init)[0][0, :1]
+            z0 = pre_op(state, b)
+            init = (jnp.zeros_like(b), b, z0, z0, jnp.sum(b * z0))
+            return jax.lax.fori_loop(0, k, body, init)[0][0, :1]
 
-    kit = jax.jit(k_iterations)
-    sync(kit(spmv_op, state, b_iter))  # compile + warm
-    t0 = time.perf_counter()
-    sync(kit(spmv_op, state, b_iter))
-    iter_s = (time.perf_counter() - t0) / iters
+        return jax.jit(run)
+
+    # Dispatch-cancelled per-iteration time: the tunnel's per-dispatch+fetch
+    # floor (~20-40 ms some sessions) would otherwise be smeared across the
+    # k iterations; run k and 3k chains and difference (same trick as
+    # prepare above).
+    t_k = {}
+    for k in (iters, 3 * iters):
+        kit = k_iterations(k)
+        sync(kit(spmv_op, state, b_iter))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sync(kit(spmv_op, state, b_iter))
+            best = min(best, time.perf_counter() - t0)
+        t_k[k] = best
+    iter_s = max((t_k[3 * iters] - t_k[iters]) / (2 * iters), 1e-9)
 
     nnz_spmv = int(9 * (n + int(np.asarray(ell.mask).sum())))
     if contact is not None:
@@ -408,20 +421,29 @@ def main():
     jdiag = ell.diag if contact is None else ell.diag + contact.diag
     dinv = jnp.linalg.inv(jdiag)
 
+    # Solve walls, dispatch-cancelled (both solvers shed the same measured
+    # per-dispatch floor — a real sim runs many steps per dispatch, so the
+    # floor is not part of either solver's cost; raw walls stay in the JSON).
     rs = solve_schwarz(spmv_op, state, b_iter)
     sync(rs.x[0, :1])
-    t0 = time.perf_counter()
-    rs = solve_schwarz(spmv_op, state, b_iter)
-    sync(rs.x[0, :1])
-    t_schwarz_iter = time.perf_counter() - t0
+    t_schwarz_raw = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rs = solve_schwarz(spmv_op, state, b_iter)
+        sync(rs.x[0, :1])
+        t_schwarz_raw = min(t_schwarz_raw, time.perf_counter() - t0)
+    t_schwarz_iter = max(t_schwarz_raw - dispatch_s, 1e-9)
     t_schwarz = t_schwarz_iter + prepare_s
 
     rj = solve_jacobi(jac_op, dinv, b)
     sync(rj.x[0, :1])
-    t0 = time.perf_counter()
-    rj = solve_jacobi(jac_op, dinv, b)
-    sync(rj.x[0, :1])
-    t_jacobi = time.perf_counter() - t0
+    t_jacobi_raw = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rj = solve_jacobi(jac_op, dinv, b)
+        sync(rj.x[0, :1])
+        t_jacobi_raw = min(t_jacobi_raw, time.perf_counter() - t0)
+    t_jacobi = max(t_jacobi_raw - dispatch_s, 1e-9)
 
     print(
         json.dumps(
@@ -441,6 +463,8 @@ def main():
                 "jacobi_iters": int(rj.iterations),
                 "schwarz_solve_ms": round(t_schwarz * 1e3, 2),
                 "jacobi_solve_ms": round(t_jacobi * 1e3, 2),
+                "schwarz_solve_raw_ms": round(t_schwarz_raw * 1e3, 2),
+                "jacobi_solve_raw_ms": round(t_jacobi_raw * 1e3, 2),
                 "device": str(jax.devices()[0]),
             }
         )

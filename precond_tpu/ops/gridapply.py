@@ -132,11 +132,62 @@ def prolong_and_collect_grid(
     return pz[:n]
 
 
+# Lane-l-to-component selector: bank-flat [B,96] @ SEL sums the 32 3-vectors
+# of each bank per component. With HIGHEST precision this is bit-identical to
+# the sequential reshape-sum (0/1 matrix, f32 accumulation) but avoids the
+# [*,32,3] minor-dim-3 layouts entirely: measured 0.58 -> 0.37 ms/iteration
+# composed into the 65k PCG loop on v5e (scripts/probe_transfers.py).
+_SEL96 = None
+
+
+def _sel96():
+    """Cached as a host np.ndarray: a jnp constant created inside one jit
+    trace must not be cached across traces (tracer leak)."""
+    global _SEL96
+    if _SEL96 is None:
+        import numpy as np
+
+        s = np.zeros((3 * BANK, 3), np.float32)
+        s[np.arange(3 * BANK), np.arange(3 * BANK) % 3] = 1.0
+        _SEL96 = s
+    return _SEL96
+
+
 def precondition_grid(
     inv96: jnp.ndarray, r_sorted: jnp.ndarray, cfg: SchwarzConfig
 ) -> jnp.ndarray:
-    """z = M^-1 r in tile order, static transfers. f32[N,3] -> f32[N,3]."""
+    """z = M^-1 r in tile order, static transfers. f32[N,3] -> f32[N,3].
+
+    Bank-flat formulation: restriction/prolongation are selector matmuls on
+    [B,96] arrays (see _sel96), numerically identical to
+    restrict_residual_grid / prolong_and_collect_grid (the readable spec,
+    kept for oracle tests) but layout-friendly in composition.
+    """
     n = r_sorted.shape[0]
-    mr = restrict_residual_grid(r_sorted, cfg, n)
-    z96 = apply_block_inverse(inv96, mr.reshape(-1, 3 * BANK))
-    return prolong_and_collect_grid(z96.reshape(-1, 3), cfg, n)
+    offs = cfg.level_offsets(n)
+    levels = cfg.num_levels(n)
+    sizes = grid_level_sizes(n, cfg)
+    sel = _sel96()
+    dot = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)  # noqa: E731
+    # ---- restrict (reference BuildResidualHierarchy, cpp:1548-1598) ----
+    parts = [r_sorted.reshape(-1, 3 * BANK)]
+    cur = parts[0]
+    for l in range(levels - 1):
+        nbl = (sizes[l] + BANK - 1) // BANK          # active banks at level l
+        vals = dot(cur[:nbl], sel)                   # [sizes[l+1], 3] bank sums
+        capb = (offs[l + 2] - offs[l + 1]) // BANK
+        cur = jnp.pad(vals, ((0, capb * BANK - vals.shape[0]), (0, 0))).reshape(
+            capb, 3 * BANK
+        )
+        parts.append(cur)
+    mr = jnp.concatenate(parts, axis=0)              # [Btot, 96]
+    z96 = apply_block_inverse(inv96, mr)             # [Btot, 96]
+    # ---- prolong + additive collect (CollectFinalZ, cpp:1698-1719) ----
+    top = min(levels, cfg.max_applied_levels)
+    pz = z96[offs[top - 1] // BANK : offs[top] // BANK]
+    for l in range(top - 2, -1, -1):
+        curz = z96[offs[l] // BANK : offs[l + 1] // BANK]
+        nb = (offs[l + 1] - offs[l]) // BANK
+        vals = pz.reshape(-1, 3)[:nb]                # parent z per child bank
+        pz = curz + dot(vals, sel.T)
+    return pz.reshape(-1, 3)[:n]
