@@ -445,6 +445,12 @@ def main():
         t_jacobi_raw = min(t_jacobi_raw, time.perf_counter() - t0)
     t_jacobi = max(t_jacobi_raw - dispatch_s, 1e-9)
 
+    # The dispatch floor is inferred (2*t_one - t_two on the prepare pair);
+    # if it ever reaches a large fraction of a raw solve wall, the clamped
+    # subtraction could drive the cancelled walls toward 0 and produce
+    # absurd ratios — mark the JSON so such results are visibly suspect.
+    dispatch_suspect = dispatch_s > 0.5 * min(t_schwarz_raw, t_jacobi_raw)
+
     print(
         json.dumps(
             {
@@ -465,6 +471,7 @@ def main():
                 "jacobi_solve_ms": round(t_jacobi * 1e3, 2),
                 "schwarz_solve_raw_ms": round(t_schwarz_raw * 1e3, 2),
                 "jacobi_solve_raw_ms": round(t_jacobi_raw * 1e3, 2),
+                **({"dispatch_suspect": True} if dispatch_suspect else {}),
                 "device": str(jax.devices()[0]),
             }
         )

@@ -124,7 +124,7 @@ def lower_inverse_blocks(w1s, lblk, mm):
     return wb
 
 
-def invert_spd_blocks_panel(h96: jnp.ndarray) -> jnp.ndarray:
+def invert_spd_blocks_panel(h96: jnp.ndarray, chunk_threshold: int = 2048) -> jnp.ndarray:
     """[B,96,96] SPD -> symmetric PSD inverses, panel-32 blocked LDL^T.
 
     The TPU-native replacement for the reference's AVX2 in-place 96x96
@@ -139,11 +139,13 @@ def invert_spd_blocks_panel(h96: jnp.ndarray) -> jnp.ndarray:
     # Chunk so each chunk's [32,64,chunk] elimination carry stays
     # VMEM-resident (~4us/step; at 35k blocks the 287MB carry spills to
     # HBM and the 96-step chain streams it: 146ms vs ~20ms chunked at 1M).
-    # The chunk size is balanced across the ceil(b/2048) chunks instead of
-    # fixed at 2048: b=2185 would otherwise pad to 4096 and invert nearly
+    # The chunk size is balanced across the ceil(b/threshold) chunks instead
+    # of fixed: b=2185 would otherwise pad to 4096 and invert nearly
     # 2x the blocks (measured 8.1 -> ~4.3 ms at the 65k config).
-    if b > 2048:
-        nchunks = -(-b // 2048)
+    # chunk_threshold is an argument so unit tests can exercise this branch
+    # at small b (ADVICE r2).
+    if b > chunk_threshold:
+        nchunks = -(-b // chunk_threshold)
         chunk = -(-(-(-b // nchunks)) // 8) * 8
         pad = nchunks * chunk - b
         hp = jnp.concatenate(

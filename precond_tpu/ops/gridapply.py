@@ -133,16 +133,18 @@ def prolong_and_collect_grid(
 
 
 # Lane-l-to-component selector: bank-flat [B,96] @ SEL sums the 32 3-vectors
-# of each bank per component. With HIGHEST precision this is bit-identical to
-# the sequential reshape-sum (0/1 matrix, f32 accumulation) but avoids the
-# [*,32,3] minor-dim-3 layouts entirely: measured 0.58 -> 0.37 ms/iteration
-# composed into the 65k PCG loop on v5e (scripts/probe_transfers.py).
+# of each bank per component. With HIGHEST precision this is numerically
+# equivalent to the sequential reshape-sum (exact f32 accumulation of 0/1-
+# selected terms, in a backend-defined order) but avoids the [*,32,3]
+# minor-dim-3 layouts entirely: measured 0.58 -> 0.37 ms/iteration composed
+# into the 65k PCG loop on v5e (scripts/probe_transfers.py).
 _SEL96 = None
 
 
 def _sel96():
-    """Cached as a host np.ndarray: a jnp constant created inside one jit
-    trace must not be cached across traces (tracer leak)."""
+    """Cached as host numpy so each jit trace embeds it as a fresh program
+    constant (a cached jnp array would also be safe — it is a concrete
+    device array, not a tracer — but numpy keeps the cache backend-free)."""
     global _SEL96
     if _SEL96 is None:
         import numpy as np
