@@ -124,7 +124,7 @@ def lower_inverse_blocks(w1s, lblk, mm):
     return wb
 
 
-def invert_spd_blocks_panel(h96: jnp.ndarray, chunk_threshold: int = 2048) -> jnp.ndarray:
+def invert_spd_blocks_panel(h96: jnp.ndarray, chunk_threshold: int = 4096) -> jnp.ndarray:
     """[B,96,96] SPD -> symmetric PSD inverses, panel-32 blocked LDL^T.
 
     The TPU-native replacement for the reference's AVX2 in-place 96x96
@@ -142,8 +142,11 @@ def invert_spd_blocks_panel(h96: jnp.ndarray, chunk_threshold: int = 2048) -> jn
     # The chunk size is balanced across the ceil(b/threshold) chunks instead
     # of fixed: b=2185 would otherwise pad to 4096 and invert nearly
     # 2x the blocks (measured 8.1 -> ~4.3 ms at the 65k config).
-    # chunk_threshold is an argument so unit tests can exercise this branch
-    # at small b (ADVICE r2).
+    # Threshold 4096: a 33MB carry is still VMEM-resident on v5e, and the
+    # unchunked 65k config (2185 blocks) measures 3.51 ms vs 3.82 chunked;
+    # at 35k blocks the 1024/2048/4096 thresholds are within session noise
+    # (77/87/80 ms). chunk_threshold is an argument so unit tests can
+    # exercise the chunked branch at small b (ADVICE r2).
     if b > chunk_threshold:
         nchunks = -(-b // chunk_threshold)
         chunk = -(-(-(-b // nchunks)) // 8) * 8

@@ -331,38 +331,32 @@ def _assemble_core(dg, A, pat: GridPattern, cfg: SchwarzConfig, collisions=None)
     if collisions is not None:
         crows, dg_add = grid_collision_terms(collisions, cfg, n)
         dg = dg + dg_add.reshape(n, 9)
+    # Materialize the tile-order crossings at their natural layout before
+    # fan-out: the fine dot_general and the coarse mask-multiply sweeps pull
+    # the shared A operands toward incompatible layouts, and letting XLA
+    # relayout inside the fused consumers measured +1.0 ms at 65k on v5e.
+    dg, *A = jax.lax.optimization_barrier((dg, *A))
     lam = jnp.asarray(pat.lam)
     sc = jnp.asarray(pat.sc)
 
-    # ---- fine level: banded broadcast products, one fused output pass -----
-    # chunked over banks so the [C,32,3,32,3] transient stays bounded at
-    # 1M-vertex block counts (the sum of D+1 broadcast products fuses into
-    # one pass over each chunk's output)
+    # ---- fine level: ONE selector dot_general over the direction axis -----
+    # h0[b,i,x,j,y] = sum_d allb[d,i,j] * aa[d,b,i,x,y] with allb the 0/1
+    # in-tile lane bands (diag as direction 0, identity band). Expressing
+    # the placement as a contraction instead of a sum of broadcast products
+    # matters in COMPOSITION: the coarse sweeps below also read A, and the
+    # multi-consumer fusion materialized every [B0,32,3,32,3] broadcast in a
+    # T(4,128) layout + relayout-reshape (measured 4.1 ms at 65k on v5e vs
+    # 0.70 ms for this form, bit-identical — HIGHEST keeps the one-hot
+    # selection exact in f32).
     eye_band = jnp.eye(BANK, dtype=jnp.float32)
-    bands = jnp.asarray(pat.band)                        # [D,32,32]
-
-    def fine_chunk(args):
-        dg_c, a_c = args                                 # [C,32,9], [D,C,32,9]
-        c = dg_c.shape[0]
-        h = dg_c.reshape(c, BANK, 3, 1, 3) * eye_band[None, :, None, :, None]
-        for d in range(D):
-            h = h + a_c[d].reshape(c, BANK, 3, 1, 3) * bands[d][None, :, None, :, None]
-        return h.reshape(c, 3 * BANK, 3 * BANK)
-
-    chunk = min(B0, 8192)
-    nc = (B0 + chunk - 1) // chunk
-    pad_b = nc * chunk - B0
-    dg_b = jnp.pad(dg.reshape(B0, BANK, 9), ((0, pad_b), (0, 0), (0, 0)))
-    a_b = jnp.pad(
-        jnp.stack(A).reshape(D, B0, BANK, 9), ((0, 0), (0, pad_b), (0, 0), (0, 0))
-    )
-    h0 = jax.lax.map(
-        fine_chunk,
-        (
-            dg_b.reshape(nc, chunk, BANK, 9),
-            jnp.moveaxis(a_b.reshape(D, nc, chunk, BANK, 9), 0, 1),
-        ),
-    ).reshape(-1, 3 * BANK, 3 * BANK)[:B0]
+    allb = jnp.concatenate([eye_band[None], jnp.asarray(pat.band)], axis=0)
+    aa = jnp.concatenate([dg[None], jnp.stack(A)], axis=0)
+    h0 = jnp.einsum(
+        "dbixy,dij->bixjy",
+        aa.reshape(D + 1, B0, BANK, 3, 3),
+        allb,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(B0, 3 * BANK, 3 * BANK)
     parts = [h0]
 
     # ---- coarse levels --------------------------------------------------
