@@ -305,18 +305,21 @@ def main():
     # drops the two N-row permute gathers per iteration that the
     # original-order precondition() pays, and makes SpMV gathers local.
     if gridblocks is not None:
-        # grid-order solve; grid<->Morton crossings are reshape/transposes;
-        # static-transfer apply (state is just inv96)
+        # grid-order solve; grid<->Morton crossings picked by size (selector
+        # matmul <= 512 grids, streaming transpose above); static-transfer
+        # apply (state is just inv96)
+        _g2m, _m2g = gm.crossing_pair(gmk)
+
         def pre_op(st, r):
-            rs = gm.grid_to_morton(r, gmk)
-            return gm.morton_to_grid(precondition_grid(st, rs, cfg), gmk)
+            return _m2g(precondition_grid(st, _g2m(r, gmk), cfg), gmk)
 
         spmv_op, b_iter, state = ssys, b, inv96
     elif ssys is not None and gmk is not None:
-        # grid-order solve; grid<->Morton crossings are reshape/transposes
+        # grid-order solve; grid<->Morton crossings picked by size
+        _g2m, _m2g = gm.crossing_pair(gmk)
+
         def pre_op(st, r):
-            rs = gm.grid_to_morton(r, gmk)
-            return gm.morton_to_grid(precondition_sorted(st, rs, cfg), gmk)
+            return _m2g(precondition_sorted(st, _g2m(r, gmk), cfg), gmk)
 
         spmv_op, b_iter = ssys, b
     elif ssys is not None:
@@ -404,51 +407,66 @@ def main():
     nnz_per_s = nnz_per_iter / iter_s
 
     # ---- solve-time speedup vs block-Jacobi ------------------------------
-    solve_schwarz = jax.jit(
-        lambda e, st, b: pcg(lambda v: spmv_fn(e, v),
-                             lambda r: pre_op(st, r), b,
-                             tol=1e-4, max_iters=2000, check_every=8)
-    )
+    def schwarz_solve(e, st, bb):
+        return pcg(lambda v: spmv_fn(e, v), lambda r: pre_op(st, r), bb,
+                   tol=1e-4, max_iters=2000, check_every=8)
+
     # Jacobi gets the SAME (fastest available) SpMV — it benchmarks the
     # preconditioner, not the matrix representation.
     jac_op = spmv_op if (ssys is not None or bsys is not None) else ell
-    solve_jacobi = jax.jit(
-        lambda e, dinv, b: pcg(lambda v: spmv_fn(e, v),
-                               lambda r: jnp.einsum("nij,nj->ni", dinv, r), b,
-                               tol=1e-4, max_iters=20000, check_every=8)
-    )
+
+    def jacobi_solve(e, dinv, bb):
+        return pcg(lambda v: spmv_fn(e, v),
+                   lambda r: jnp.einsum("nij,nj->ni", dinv, r), bb,
+                   tol=1e-4, max_iters=20000, check_every=8)
+
     # block-Jacobi of the FULL system (incl. contact diagonal fill-in)
     jdiag = ell.diag if contact is None else ell.diag + contact.diag
     dinv = jnp.linalg.inv(jdiag)
 
-    # Solve walls, dispatch-cancelled (both solvers shed the same measured
-    # per-dispatch floor — a real sim runs many steps per dispatch, so the
-    # floor is not part of either solver's cost; raw walls stay in the JSON).
-    rs = solve_schwarz(spmv_op, state, b_iter)
-    sync(rs.x[0, :1])
-    t_schwarz_raw = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        rs = solve_schwarz(spmv_op, state, b_iter)
-        sync(rs.x[0, :1])
-        t_schwarz_raw = min(t_schwarz_raw, time.perf_counter() - t0)
-    t_schwarz_iter = max(t_schwarz_raw - dispatch_s, 1e-9)
+    # Solve walls, dispatch-cancelled by PAIR DIFFERENCING (same trick as
+    # prepare): time a one-solve dispatch and a chained two-solve dispatch
+    # (second on a data-dependent perturbed rhs so CSE can't collapse it)
+    # and difference. This removes the tunnel's variable per-dispatch floor
+    # from the measurement itself instead of subtracting the separately
+    # inferred dispatch_s (which the round-2 advisor flagged as fragile).
+    # A real sim runs many steps per dispatch, so the floor is not part of
+    # either solver's cost; raw one-solve walls stay in the JSON.
+    def timed_pair(solve_fn, op_, st_, bb):
+        def two(op, st, b1):
+            ra = solve_fn(op, st, b1)
+            b2 = jax.lax.optimization_barrier(b1 * (1.0 + 1e-6) + 0.0 * ra.x[0, 0])
+            rb = solve_fn(op, st, b2)
+            return ra, rb
+
+        one_j = jax.jit(solve_fn)
+        two_j = jax.jit(two)
+        res = one_j(op_, st_, bb)
+        sync(res.x[0, :1])
+        t1 = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = one_j(op_, st_, bb)
+            sync(res.x[0, :1])
+            t1 = min(t1, time.perf_counter() - t0)
+        r2 = two_j(op_, st_, bb)
+        sync(r2[1].x[0, :1])
+        t2 = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r2 = two_j(op_, st_, bb)
+            sync(r2[1].x[0, :1])
+            t2 = min(t2, time.perf_counter() - t0)
+        return res, t1, max(t2 - t1, 1e-9)
+
+    rs, t_schwarz_raw, t_schwarz_iter = timed_pair(
+        schwarz_solve, spmv_op, state, b_iter
+    )
     t_schwarz = t_schwarz_iter + prepare_s
+    rj, t_jacobi_raw, t_jacobi = timed_pair(jacobi_solve, jac_op, dinv, b)
 
-    rj = solve_jacobi(jac_op, dinv, b)
-    sync(rj.x[0, :1])
-    t_jacobi_raw = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        rj = solve_jacobi(jac_op, dinv, b)
-        sync(rj.x[0, :1])
-        t_jacobi_raw = min(t_jacobi_raw, time.perf_counter() - t0)
-    t_jacobi = max(t_jacobi_raw - dispatch_s, 1e-9)
-
-    # The dispatch floor is inferred (2*t_one - t_two on the prepare pair);
-    # if it ever reaches a large fraction of a raw solve wall, the clamped
-    # subtraction could drive the cancelled walls toward 0 and produce
-    # absurd ratios — mark the JSON so such results are visibly suspect.
+    # With pair differencing the dispatch floor no longer enters the
+    # ratios; keep the flag for the (now informational) dispatch_ms field.
     dispatch_suspect = dispatch_s > 0.5 * min(t_schwarz_raw, t_jacobi_raw)
 
     print(

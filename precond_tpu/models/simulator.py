@@ -573,15 +573,14 @@ class ClothSim:
                 # crosses into sorted order via analytic transforms
                 from ..utils import gridmorton as gm
 
+                _g2m, _m2g = gm.crossing_pair(gmk)
                 if grid_prep:
-                    pre_op = lambda r_: gm.morton_to_grid(  # noqa: E731
-                        precondition_grid(inv96, gm.grid_to_morton(r_, gmk), cfg),
-                        gmk,
+                    pre_op = lambda r_: _m2g(  # noqa: E731
+                        precondition_grid(inv96, _g2m(r_, gmk), cfg), gmk
                     )
                 else:
-                    pre_op = lambda r_: gm.morton_to_grid(  # noqa: E731
-                        precondition_sorted(state, gm.grid_to_morton(r_, gmk), cfg),
-                        gmk,
+                    pre_op = lambda r_: _m2g(  # noqa: E731
+                        precondition_sorted(state, _g2m(r_, gmk), cfg), gmk
                     )
                 if contact is not None:
                     from ..ops.contact import contact_spmv

@@ -24,6 +24,9 @@ SeMorton.h:75-101) remains the path for unstructured meshes.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -106,3 +109,73 @@ def morton_to_grid(x: jnp.ndarray, k: int) -> jnp.ndarray:
         .transpose((0, 2, 1, 3) + tuple(4 + a for a in range(len(lead))))
         .reshape((4**k,) + lead)
     )
+
+
+# ---- selector-matmul crossing -------------------------------------------
+# The reshape/transpose crossing above moves elements across lane tiles
+# with a 3-wide minor dim. The same (row-slab, col-tile) transpose is a
+# fixed permutation, so it can ride the MXU as a 0/1 selector matmul
+# (exact under HIGHEST precision: each output is a sum with exactly one
+# nonzero product) followed by a cheap per-bank row take.
+#
+# Measured composition behavior on v5e at 65k (the reason crossing_pair
+# currently always returns the streaming form): inside a straight
+# fori_loop PCG chain the matmul form wins 0.41 -> 0.34 ms/iter
+# (bit-identical), but inside the production lax.while_loop solve the
+# fixed carry layouts force relayout copies around the einsum and it
+# LOSES 0.394 -> 0.428 ms/iter; at 1M the selector is [2048,2048] and the
+# O(N^1.5) FLOPs lose outright (8.7 vs 10.1 ms/iter in the chain).
+
+_MM_MAX_K = -1  # while-loop composition currently always favors streaming
+
+
+@functools.lru_cache(maxsize=8)
+def _slab_selector(k: int) -> np.ndarray:
+    """P[(ct*TILE_I+wi), (wi*nct+ct)] = 1: per-slab (wi, ct) transpose."""
+    n = 1 << k
+    nct = n // TILE_J
+    p = np.zeros((nct * TILE_I, TILE_I * nct), np.float32)
+    wi = np.repeat(np.arange(TILE_I), nct)
+    ct = np.tile(np.arange(nct), TILE_I)
+    p[ct * TILE_I + wi, wi * nct + ct] = 1.0
+    return p
+
+
+def grid_to_morton_mm(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """grid_to_morton as selector matmul + bank take (bit-identical)."""
+    n = 1 << k
+    nslab, nct = n // TILE_I, n // TILE_J
+    lead = x.shape[1:]
+    w = int(np.prod(lead)) if lead else 1
+    xr = x.reshape(nslab, TILE_I * nct, TILE_J * w)
+    y = jnp.einsum(
+        "ij,rjk->rik", jnp.asarray(_slab_selector(k)), xr,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    tiles = y.reshape(nslab * nct, TILE_I * TILE_J * w)
+    return jnp.take(tiles, jnp.asarray(_rank_to_tile(k)), axis=0).reshape(
+        (4**k,) + lead
+    )
+
+
+def morton_to_grid_mm(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Inverse of grid_to_morton_mm (transposed selector, rank take)."""
+    n = 1 << k
+    nslab, nct = n // TILE_I, n // TILE_J
+    lead = x.shape[1:]
+    w = int(np.prod(lead)) if lead else 1
+    banks = x.reshape(nslab * nct, TILE_I * TILE_J * w)
+    tiles = jnp.take(banks, jnp.asarray(_tile_rank(k)), axis=0)
+    y = jnp.einsum(
+        "ji,rjk->rik", jnp.asarray(_slab_selector(k)),
+        tiles.reshape(nslab, TILE_I * nct, TILE_J * w),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return y.reshape((4**k,) + lead)
+
+
+def crossing_pair(k: int):
+    """(grid_to_morton, morton_to_grid) best for iteration vectors at 2^k."""
+    if k <= _MM_MAX_K:
+        return grid_to_morton_mm, morton_to_grid_mm
+    return grid_to_morton, morton_to_grid

@@ -28,6 +28,26 @@ def test_transpose_matches_gather_permute():
     )
 
 
+def test_selector_matmul_crossing_is_bit_identical():
+    """MXU selector-matmul crossings (crossing_pair fast path) must match
+    the streaming transpose form bitwise (0/1 selector under HIGHEST)."""
+    k = 4
+    n = 4**k
+    rng = np.random.default_rng(2)
+    for lead in ((3,), (9,), ()):
+        x = jnp.asarray(rng.standard_normal((n,) + lead).astype(np.float32))
+        a = gm.grid_to_morton_mm(x, k)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(gm.grid_to_morton(x, k)))
+        np.testing.assert_array_equal(np.asarray(gm.morton_to_grid_mm(a, k)), np.asarray(x))
+    # crossing_pair returns whichever form measured best in the production
+    # while-loop composition; assert only that it returns a matched pair
+    g2m, m2g = gm.crossing_pair(k)
+    assert (g2m, m2g) in (
+        (gm.grid_to_morton, gm.morton_to_grid),
+        (gm.grid_to_morton_mm, gm.morton_to_grid_mm),
+    )
+
+
 def test_banks_are_compact_tiles():
     """Every 32-vertex bank of the analytic order is one 8x4 grid tile."""
     k = 4
