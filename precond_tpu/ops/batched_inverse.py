@@ -150,12 +150,33 @@ def invert_spd_blocks_panel(h96: jnp.ndarray, chunk_threshold: int = 4096) -> jn
     if b > chunk_threshold:
         nchunks = -(-b // chunk_threshold)
         chunk = -(-(-(-b // nchunks)) // 8) * 8
-        pad = nchunks * chunk - b
-        hp = jnp.concatenate(
-            [h96, jnp.broadcast_to(jnp.eye(96, dtype=h96.dtype), (pad, 96, 96))]
-        ) if pad else h96
-        out = jax.lax.map(_invert_panel_batch, hp.reshape(-1, chunk, 96, 96))
-        return out.reshape(-1, 96, 96)[:b]
+        # full chunks slice the input in place (a padded whole-batch copy
+        # would hold an extra 1.3GB live at 1M block counts — OOM inside
+        # the bench's two-prepare chain); only the remainder chunk pads
+        nfull = b // chunk
+        out = jnp.zeros((b, 96, 96), h96.dtype)
+
+        def step(i, acc):
+            blk = jax.lax.dynamic_slice_in_dim(h96, i * chunk, chunk, axis=0)
+            return jax.lax.dynamic_update_slice_in_dim(
+                acc, _invert_panel_batch(blk), i * chunk, axis=0
+            )
+
+        out = jax.lax.fori_loop(0, nfull, step, out)
+        rem = b - nfull * chunk
+        if rem:
+            tail = jnp.concatenate(
+                [
+                    h96[nfull * chunk :],
+                    jnp.broadcast_to(
+                        jnp.eye(96, dtype=h96.dtype), (chunk - rem, 96, 96)
+                    ),
+                ]
+            )
+            out = jax.lax.dynamic_update_slice_in_dim(
+                out, _invert_panel_batch(tail)[:rem], nfull * chunk, axis=0
+            )
+        return out
     return _invert_panel_batch(h96)
 
 

@@ -331,11 +331,19 @@ def _assemble_core(dg, A, pat: GridPattern, cfg: SchwarzConfig, collisions=None)
     if collisions is not None:
         crows, dg_add = grid_collision_terms(collisions, cfg, n)
         dg = dg + dg_add.reshape(n, 9)
-    # Materialize the tile-order crossings at their natural layout before
-    # fan-out: the fine dot_general and the coarse mask-multiply sweeps pull
-    # the shared A operands toward incompatible layouts, and letting XLA
-    # relayout inside the fused consumers measured +1.0 ms at 65k on v5e.
-    dg, *A = jax.lax.optimization_barrier((dg, *A))
+    # Materialize the tile-order crossings ONCE as a single stacked buffer
+    # at its natural layout before fan-out: the fine dot_general and the
+    # coarse mask-multiply sweeps pull the shared A operands toward
+    # incompatible layouts, and letting XLA relayout inside the fused
+    # consumers measured +1.0 ms at 65k on v5e. Stacking before the
+    # barrier (instead of keeping 13 separate arrays AND a stacked copy)
+    # also halves the live assembly footprint — at 1M block counts the
+    # duplicate 1.2GB OOMs the bench's two-prepare chain on 16GB.
+    aa = jax.lax.optimization_barrier(
+        jnp.concatenate([dg[None], jnp.stack(A)], axis=0)
+    )
+    dg = aa[0]
+    A = [aa[1 + d] for d in range(D)]
     lam = jnp.asarray(pat.lam)
     sc = jnp.asarray(pat.sc)
 
@@ -350,13 +358,34 @@ def _assemble_core(dg, A, pat: GridPattern, cfg: SchwarzConfig, collisions=None)
     # selection exact in f32).
     eye_band = jnp.eye(BANK, dtype=jnp.float32)
     allb = jnp.concatenate([eye_band[None], jnp.asarray(pat.band)], axis=0)
-    aa = jnp.concatenate([dg[None], jnp.stack(A)], axis=0)
-    h0 = jnp.einsum(
-        "dbixy,dij->bixjy",
-        aa.reshape(D + 1, B0, BANK, 3, 3),
-        allb,
-        precision=jax.lax.Precision.HIGHEST,
-    ).reshape(B0, 3 * BANK, 3 * BANK)
+    aa = aa.reshape(D + 1, B0, BANK, 3, 3)
+
+    def fine_dot(chunk):
+        return jnp.einsum(
+            "dbixy,dij->bixjy", chunk, allb,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(-1, 3 * BANK, 3 * BANK)
+
+    # chunk the dot over banks at 1M-scale block counts: the [B0,32,3,32,3]
+    # dot output plus its operand would otherwise hold ~2.4GB live inside
+    # the bench's two-prepare measurement chain (OOM on 16GB)
+    C = 8192
+    if B0 <= C:
+        h0 = fine_dot(aa)
+    else:
+        nc = (B0 + C - 1) // C
+        padb = nc * C - B0
+        aap = jnp.pad(aa, ((0, 0), (0, padb), (0, 0), (0, 0), (0, 0)))
+
+        def step(i, out):
+            chunk = jax.lax.dynamic_slice_in_dim(aap, i * C, C, axis=1)
+            return jax.lax.dynamic_update_slice_in_dim(
+                out, fine_dot(chunk), i * C, axis=0
+            )
+
+        h0 = jax.lax.fori_loop(
+            0, nc, step, jnp.zeros((nc * C, 3 * BANK, 3 * BANK), jnp.float32)
+        )[:B0]
     parts = [h0]
 
     # ---- coarse levels --------------------------------------------------
