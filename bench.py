@@ -150,6 +150,20 @@ def main():
         ee, _ = coll.detect_ee_grid(pj, ej, thresh, stiff, budget, per_edge_cap=cap)
         ef, _ = coll.detect_ef_grid(pj, ej, fj, thresh, stiff, budget, per_edge_cap=cap)
         stencils = build_stencils(ej, fj, ef=ef, ee=ee, vf=vf)
+        # compact away the detection budgets' invalid padding (host-side,
+        # like the reference host sizing its EF/EE/VF arrays to the found
+        # counts, cpp:306-308): the rank-1 contact SpMV moves 5 rows per
+        # STENCIL SLOT each iteration, valid or not
+        keep = np.flatnonzero(np.asarray(stencils.valid))
+        pad8 = (-keep.size) % 8
+        keep = np.concatenate([keep, np.zeros(pad8, np.int64)])
+        stencils = type(stencils)(
+            *(jnp.asarray(np.asarray(f)[keep]) for f in stencils)
+        )
+        if pad8:
+            stencils = stencils._replace(
+                valid=stencils.valid.at[-pad8:].set(False)
+            )
         # contacts belong IN the system (the reference host's CSR carries
         # the fill-in; the stencils exist so M can track it) — an M with
         # terms H lacks is actively harmful (632 vs 448 Jacobi iters).
@@ -274,7 +288,7 @@ def main():
     out = prep(*prep_args)
     sync(inv_of(out)[0, 0, :1])
     t_one = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         out = prep(*prep_args)
         sync(inv_of(out)[0, 0, :1])
@@ -282,7 +296,7 @@ def main():
     o2 = prep2(*prep_args)
     sync(inv2_of(o2)[0, 0, :1])
     t_two = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         o2 = prep2(*prep_args)
         sync(inv2_of(o2)[0, 0, :1])
@@ -342,12 +356,15 @@ def main():
     else:
         spmv_op, pre_op, b_iter = ells, lambda st, r: precondition_sorted(st, r, cfg), b_sorted
     if ssys is not None and contact is not None:
-        from precond_tpu.ops.contact import contact_spmv
+        # rank-1 stencil contact SpMV: same operator as the compact-row ELL
+        # (which stays for the nnz count + Jacobi diagonal) with ~30x fewer
+        # gathered rows at the fold's ~16k stencils (ops/contact.py)
+        from precond_tpu.ops.contact import stencil_contact_spmv
 
-        spmv_op = (spmv_op, contact)
+        spmv_op = (spmv_op, stencils)
 
         def spmv_fn(op, v):
-            return gridstencil.spmv(op[0], v) + contact_spmv(op[1], v)
+            return gridstencil.spmv(op[0], v) + stencil_contact_spmv(op[1], v)
     elif ssys is not None and os.environ.get("BENCH_SPMV_PALLAS", "0") == "1":
         # fused one-pass Pallas stencil SpMV (A/B hook vs the einsum form)
         from precond_tpu.ops.pallas.stencil_spmv import spmv_system
@@ -444,7 +461,7 @@ def main():
         res = one_j(op_, st_, bb)
         sync(res.x[0, :1])
         t1 = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             res = one_j(op_, st_, bb)
             sync(res.x[0, :1])
@@ -452,7 +469,7 @@ def main():
         r2 = two_j(op_, st_, bb)
         sync(r2[1].x[0, :1])
         t2 = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             r2 = two_j(op_, st_, bb)
             sync(r2[1].x[0, :1])

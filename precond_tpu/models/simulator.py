@@ -198,7 +198,7 @@ class SoftBodySim:
         """Whole frame as one jitted dispatch: per-element rotations,
         H reassembly, detection, prepare, PCG (big arrays are arguments)."""
         from . import tetmesh as tet_model
-        from ..ops.contact import build_contact_ell, contact_forces, contact_spmv
+        from ..ops.contact import contact_forces, stencil_contact_spmv
         from ..ops.stencils import build_stencils
         from ..solver import prepare_with_system
 
@@ -239,7 +239,7 @@ class SoftBodySim:
                 diag=jnp.where(pinned[:, None, None], big, ell.diag),
             )
 
-            stencils, st_sys, contact, detect_info = None, None, None, None
+            stencils, st_sys, detect_info = None, None, None
             if collide:
                 kv = cfg.max_collision_per_vert
                 vf, i1 = collision_model.detect_vf_grid(
@@ -262,7 +262,6 @@ class SoftBodySim:
                 st_sys = stencils._replace(
                     weight=stencils.weight * wmask.astype(jnp.float32)
                 )
-                contact = build_contact_ell(st_sys, n, kc=kv)
 
             # rhs: inertia target + internal + contact penalty forces
             y = x + dt * v + dt * dt * gravity[None, :]
@@ -284,9 +283,11 @@ class SoftBodySim:
                     dgr, drr, boxstencil.BOX_OFFSETS, box, cfg,
                     st_sys, maps.orig_to_sorted,
                 )
-                if contact is not None:
+                if st_sys is not None:
+                    # rank-1 stencil form: ~30x fewer gathered rows than the
+                    # compact ELL at production contact counts (ops/contact.py)
                     spmv_op = lambda p_: (  # noqa: E731
-                        boxstencil.spmv(bsys, p_) + contact_spmv(contact, p_)
+                        boxstencil.spmv(bsys, p_) + stencil_contact_spmv(st_sys, p_)
                     )
                 else:
                     spmv_op = lambda p_: boxstencil.spmv(bsys, p_)  # noqa: E731
@@ -302,18 +303,15 @@ class SoftBodySim:
                 from ..ops.apply import precondition_sorted
 
                 state, ells = prepare_with_system(ell, maps, cfg, st_sys)
-                if contact is not None:
+                if st_sys is not None:
                     mapped = st_sys._replace(
                         idx=jnp.take(
                             maps.orig_to_sorted,
                             jnp.clip(st_sys.idx, 0, n - 1),
                         )
                     )
-                    ce_sorted = build_contact_ell(
-                        mapped, n, kc=cfg.max_collision_per_vert
-                    )
                     spmv_op = lambda p_: (  # noqa: E731
-                        blockcsr.spmv(ells, p_) + contact_spmv(ce_sorted, p_)
+                        blockcsr.spmv(ells, p_) + stencil_contact_spmv(mapped, p_)
                     )
                 else:
                     spmv_op = lambda p_: blockcsr.spmv(ells, p_)  # noqa: E731
@@ -460,7 +458,6 @@ class ClothSim:
             stencils = None
             st_sys = None
             detect_info = None
-            contact = None
             if collide:
                 # Hash-grid broad phase, all three set types (the reference
                 # consumes EF+EE+VF, cpp:67-72), per-vertex/edge budget from
@@ -499,12 +496,8 @@ class ClothSim:
                 # contacts belong IN the system the PCG solves, not just in
                 # M (ops/contact.py): H dx = rhs with penalty Hessians in H
                 # resists relative contact motion this step; M then tracks
-                # exactly the coupling H carries.
-                from ..ops.contact import build_contact_ell
-
-                contact = build_contact_ell(
-                    st_sys, x.shape[0], kc=cfg.max_collision_per_vert
-                )
+                # exactly the coupling H carries. Applied in rank-1 stencil
+                # form at SpMV time (ops/contact.stencil_contact_spmv).
 
             from ..solver import prepare_grid, prepare_with_system
             from ..ops.apply import precondition_sorted
@@ -582,11 +575,12 @@ class ClothSim:
                     pre_op = lambda r_: _m2g(  # noqa: E731
                         precondition_sorted(state, _g2m(r_, gmk), cfg), gmk
                     )
-                if contact is not None:
-                    from ..ops.contact import contact_spmv
+                if st_sys is not None:
+                    from ..ops.contact import stencil_contact_spmv
 
                     spmv_op = lambda p_: (  # noqa: E731
-                        gridstencil.spmv(ssys, p_) + contact_spmv(contact, p_)
+                        gridstencil.spmv(ssys, p_)
+                        + stencil_contact_spmv(st_sys, p_)
                     )
                 else:
                     spmv_op = lambda p_: gridstencil.spmv(ssys, p_)  # noqa: E731
@@ -599,9 +593,8 @@ class ClothSim:
             else:
                 # Solve in Morton-sorted space: permute rhs once, x back
                 # once (drops two N-row gathers per PCG iteration).
-                if contact is not None:
-                    from ..ops.contact import build_contact_ell as _bce
-                    from ..ops.contact import contact_spmv
+                if st_sys is not None:
+                    from ..ops.contact import stencil_contact_spmv
 
                     mapped = st_sys._replace(
                         idx=jnp.take(
@@ -609,9 +602,8 @@ class ClothSim:
                             jnp.clip(st_sys.idx, 0, x.shape[0] - 1),
                         )
                     )
-                    ce_sorted = _bce(mapped, x.shape[0], kc=cfg.max_collision_per_vert)
                     spmv_op = lambda p_: (  # noqa: E731
-                        blockcsr.spmv(ells, p_) + contact_spmv(ce_sorted, p_)
+                        blockcsr.spmv(ells, p_) + stencil_contact_spmv(mapped, p_)
                     )
                 else:
                     spmv_op = lambda p_: blockcsr.spmv(ells, p_)  # noqa: E731

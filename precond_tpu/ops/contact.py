@@ -180,6 +180,43 @@ def contact_forces(
     return jnp.zeros((n + 1, 3), jnp.float32).at[tgt_b].add(fs_b, mode="drop")[:n]
 
 
+def stencil_contact_spmv(st: Stencils, x: jnp.ndarray) -> jnp.ndarray:
+    """y = H_contact x via the rank-1 stencil factorization — the SpMV-time
+    twin of contact_forces' Gauss-Newton Hessian.
+
+    H_c = sum_s stiff_s (w w^T) (x) (d d^T), so per stencil
+    t = d . (sum_i w_i x_i) and y_i += stiff * w_i * t * d: 5 gathered and
+    5 scattered rows per stencil. The compact-row ELL (contact_spmv) pads
+    to R*Kc static slots and gathered 2.6M rows/iter at the bench's 16k-
+    stencil fold (~9.5 ms/iter on v5e); this form moves ~160k rows
+    (~1-2 ms) and needs no per-step bucketing. Same operator (duplicate
+    pairs merge by summation; fp order differs)."""
+    n = x.shape[0]
+    act = st.valid[:, None] & (jnp.arange(5)[None, :] < st.nverts[:, None])
+    w = jnp.where(act, st.weight, 0.0)                    # [S,5]
+    ids = jnp.clip(st.idx, 0, n - 1)
+    xs = jnp.take(x, ids.reshape(-1), axis=0).reshape(st.idx.shape + (3,))
+    t = jnp.einsum("sv,svk,sk->s", w, xs, st.direction)   # [S]
+    ys = ((st.stiff * t)[:, None] * w)[:, :, None] * st.direction[:, None, :]
+    tgt = jnp.where(act, st.idx, n).reshape(-1)
+    tgt_b, ys_b = jax.lax.optimization_barrier((tgt, ys.reshape(-1, 3)))
+    return jnp.zeros((n + 1, 3), jnp.float32).at[tgt_b].add(ys_b, mode="drop")[:n]
+
+
+def contact_diag(st: Stencils, n: int) -> jnp.ndarray:
+    """f32[N,3,3] contact diagonal blocks (for block-Jacobi of the full
+    system), without building the off-diagonal ELL."""
+    act = st.valid[:, None] & (jnp.arange(5)[None, :] < st.nverts[:, None])
+    w = jnp.where(act, st.weight, 0.0)
+    d = st.direction
+    ddt = st.stiff[:, None, None] * d[:, :, None] * d[:, None, :]
+    dmat = (w * w).reshape(-1)[:, None, None] * jnp.repeat(ddt, 5, axis=0)
+    tgt = jnp.where(act, st.idx, n).reshape(-1)
+    tgt_b, dmat_b = jax.lax.optimization_barrier((tgt, dmat.reshape(-1, 9)))
+    out = jnp.zeros((n + 1, 9), jnp.float32).at[tgt_b].add(dmat_b, mode="drop")
+    return out[:n].reshape(n, 3, 3)
+
+
 def contact_spmv(ce: ContactEll, x: jnp.ndarray) -> jnp.ndarray:
     """y += H_contact x: R*Kc-row gather + R-row scatter + diagonal term."""
     n = x.shape[0]

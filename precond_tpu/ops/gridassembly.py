@@ -201,7 +201,7 @@ def grid_collision_terms(
     Returns (rows f32[total, 288] of sparse row payloads to add after the
     static assembly, dg_add f32[n, 3, 3] extra fine diagonals to fold into
     the streaming diagonal before it)."""
-    from .assembly import ROW, _diag_rows, _row_scatter, _scalar_scatter9, _tile288, _YCOL
+    from .assembly import ROW, _scalar_scatter9
 
     levels = cfg.num_levels(n)
     offs = cfg.level_offsets(n)
@@ -225,12 +225,20 @@ def grid_collision_terms(
     merged = ((my // BANK) == (ot // BANK)) & (lam < levels) & (my < total)
     okc = merged & collisions.pair_valid
 
-    hb2 = jnp.zeros((total + 1, ROW), jnp.float32)
+    # 9-wide slot scatters: slot = node*32 + column lane. The 288-wide row
+    # payloads of the general path write 32x the elements (scatters are
+    # element-priced on TPU) — at the bench fold's 16k stencils (327k
+    # pairs) the row form alone was ~200 ms of collide-config prepare.
+    hb9 = jnp.zeros(((total + 1) * BANK, 9), jnp.float32)
+
+    def scat(h, node, lane, m9, ok):
+        tgt = jnp.where(ok, node * BANK + lane, total * BANK)
+        t, v = jax.lax.optimization_barrier((tgt, m9))
+        return h.at[t].add(v, mode="drop")
+
     pm9 = collisions.pair_mat.reshape(-1, 9)
-    ycol = jnp.asarray(_YCOL)
-    pv = _tile288(pm9)
-    hb2 = _row_scatter(hb2, my, pv * ((ot % BANK)[:, None] == ycol), okc, total)
-    hb2 = _row_scatter(hb2, ot, pv * ((my % BANK)[:, None] == ycol), okc, total)
+    hb9 = scat(hb9, my, ot % BANK, pm9, okc)
+    hb9 = scat(hb9, ot, my % BANK, pm9, okc)
     # parent diagonal compensation one level further up (cpp:1184-1198)
     pmy = arith_parent(jnp.minimum(my, total), cfg, n)
     pot = arith_parent(jnp.minimum(ot, total), cfg, n)
@@ -245,12 +253,17 @@ def grid_collision_terms(
         ids = jnp.arange(coarse_off, total, dtype=jnp.int32)
         cmat9 = addl9[coarse_off * 9 : total * 9].reshape(-1, 9)
         for _ in range(levels):
-            hb2 = _row_scatter(
-                hb2, ids, _diag_rows(cmat9, ids % BANK), ids < total, total
-            )
+            hb9 = scat(hb9, ids, ids % BANK, cmat9, ids < total)
             ids = arith_parent(jnp.minimum(ids, total), cfg, n)
+    # [total*32, 9] slots -> [total, 288] node rows (ci major, then j, cj)
+    hb2 = (
+        hb9[: total * BANK]
+        .reshape(total, BANK, 3, 3)
+        .transpose(0, 2, 1, 3)
+        .reshape(total, ROW)
+    )
     dg_add = addl9[: n * 9].reshape(n, 3, 3)
-    return hb2[:total], dg_add
+    return hb2, dg_add
 
 
 def pin_grid_blocks(
@@ -274,11 +287,6 @@ def pin_grid_blocks(
     eye = jnp.eye(3, dtype=diag_rows.dtype)
     diag = jnp.where(pinned[:, None, None], big_diag * eye[None], diag_rows)
     return diag, dirs
-
-
-def _place(S: jnp.ndarray, colsel: jnp.ndarray) -> jnp.ndarray:
-    """[P,9] block sums + [P,32] column one-hot -> [P,3,32,3] row payloads."""
-    return S.reshape(-1, 3, 1, 3) * colsel[:, None, :, None]
 
 
 def assemble_grid_hessian(
@@ -389,6 +397,10 @@ def _assemble_core(dg, A, pat: GridPattern, cfg: SchwarzConfig, collisions=None)
     parts = [h0]
 
     # ---- coarse levels --------------------------------------------------
+    # All of a level's row placements (the node diagonal + every crossing
+    # subcase) batch into ONE selector contraction over the entry axis —
+    # sequential `rows + _place(...)` accumulation materialized a
+    # [s_m,3,32,3] copy per entry in composition (~0.8 ms at 65k).
     iota = jnp.arange(BANK, dtype=jnp.int32)
     chain = None  # sum of blocks resolved below the current level
     for m in range(1, levels):
@@ -400,16 +412,22 @@ def _assemble_core(dg, A, pat: GridPattern, cfg: SchwarzConfig, collisions=None)
             em = em + A[d] * (lam[d] == (m - 1))[:, None]
         chain = prev + em
         diagpay = chain + dg
-        S = diagpay.reshape(s_m, group, 9).sum(axis=1)          # [s_m,9]
         p_lane = (jnp.arange(s_m, dtype=jnp.int32) % BANK)
-        rows = _place(S, (iota[None, :] == p_lane[:, None]).astype(jnp.float32))
+        S_list = [diagpay.reshape(s_m, group, 9).sum(axis=1)]    # [s_m,9]
+        C_list = [(iota[None, :] == p_lane[:, None]).astype(jnp.float32)]
         for d, lm, c, col in pat.offdiag:
             if lm != m:
                 continue
             w = ((lam[d] == m) & (sc[d] == c)).astype(jnp.float32)
-            S2 = (A[d] * w[:, None]).reshape(s_m, group, 9).sum(axis=1)
-            colsel = (iota[None, :] == jnp.asarray(col)[:, None]).astype(jnp.float32)
-            rows = rows + _place(S2, colsel)
+            S_list.append((A[d] * w[:, None]).reshape(s_m, group, 9).sum(axis=1))
+            C_list.append(
+                (iota[None, :] == jnp.asarray(col)[:, None]).astype(jnp.float32)
+            )
+        rows = jnp.einsum(
+            "epw,epj->pwj", jnp.stack(S_list), jnp.stack(C_list),
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                        # [s_m,9,32]
+        rows = rows.reshape(s_m, 3, 3, BANK).transpose(0, 1, 3, 2)
         pad = (BANK - s_m % BANK) % BANK
         rows = jnp.pad(rows, ((0, pad), (0, 0), (0, 0), (0, 0)))
         hm = rows.reshape(-1, BANK, 3, BANK, 3).reshape(-1, 3 * BANK, 3 * BANK)

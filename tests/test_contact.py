@@ -60,6 +60,26 @@ def test_contact_ell_matches_dense_oracle():
     np.testing.assert_allclose(y, y_ref, rtol=0, atol=5e-6 * scale)
 
 
+def test_stencil_contact_spmv_matches_dense_oracle():
+    """The rank-1 stencil SpMV (the production apply form) must equal the
+    dense H_c and the unbudgeted ELL's contact diagonal."""
+    from precond_tpu.ops.contact import contact_diag, stencil_contact_spmv
+
+    st, n = _folded_stencils()
+    h = _dense_oracle(st, n)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((n, 3)).astype(np.float32)
+    y_ref = (h @ x.reshape(-1).astype(np.float64)).reshape(n, 3)
+    y = np.asarray(stencil_contact_spmv(st, jnp.asarray(x)))
+    scale = max(np.abs(y_ref).max(), 1e-12)
+    np.testing.assert_allclose(y, y_ref, rtol=0, atol=5e-6 * scale)
+    # contact_diag == the ELL's diagonal field
+    ce = build_contact_ell(st, n, kc=32)
+    np.testing.assert_allclose(
+        np.asarray(contact_diag(st, n)), np.asarray(ce.diag), rtol=0, atol=1e-6
+    )
+
+
 def test_contact_ell_budget_drops_counted():
     st, n = _folded_stencils()
     ce = build_contact_ell(st, n, kc=1)
