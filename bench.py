@@ -183,7 +183,10 @@ def main():
     else:
         mesh = cloth.make_grid(grid, grid, z_wave=0.02, mass=mass, dt=1.0 / 60.0)
         n = mesh.num_verts
-        ell = cloth.assemble_system(mesh)
+        # built AFTER the prepare-chain measurement (below): at 1M the two
+        # chained prepares sit within ~1GB of HBM capacity and the block
+        # arrays (~1.1GB with the stencil system) tip them over
+        ell = None
         positions = mesh.positions
     # Structured-grid stencil SpMV fast path (zero gathers; ~5x the gather
     # ELL on v5e). The Schwarz solve then runs in ORIGINAL (grid) order and
@@ -197,7 +200,7 @@ def main():
     if config in ("cloth", "collide") and os.environ.get("BENCH_STENCIL", "1") != "0":
         from precond_tpu.utils import gridmorton as gm
 
-        ssys = cloth.assemble_system_stencil(
+        ssys = "deferred" if ell is None else cloth.assemble_system_stencil(
             mesh, positions=positions,
             sym=os.environ.get("BENCH_SPMV_SYM", "0") == "1",
         )
@@ -290,6 +293,9 @@ def main():
         prep_args = (dgr, drr, stencils, maps.orig_to_sorted)
         inv_of = lambda out: out  # noqa: E731
     else:
+        if ell is None:
+            ell = cloth.assemble_system(mesh)   # general path needs it now
+
         def prep_one(e, m, s):
             return prepare_with_system(e, m, cfg, s, analytic_hier=analytic_hier)
 
@@ -322,7 +328,9 @@ def main():
     # dispatch and divide by PK-1 — a longer chain averages contention
     # over more device work than the old 1-vs-2 pair (the dominant noise
     # source in the recorded prepare_ms; the chip is shared)
-    PK = int(os.environ.get("BENCH_PREP_CHAIN", "5"))
+    # chain length scales down with problem size: >2 chained 1M-vertex
+    # prepares exceed 16GB HBM at buffer assignment
+    PK = int(os.environ.get("BENCH_PREP_CHAIN", "5" if n <= (1 << 18) else "2"))
     prep = prep_chain(1)
     prepk = prep_chain(PK)
 
@@ -349,6 +357,13 @@ def main():
     # by one inverse read per prepare — conservative, never flattering
     prepare_s = max((t_k - t_one) / (PK - 1), 1e-9)
     dispatch_s = max(t_one - prepare_s, 0.0)
+    if ell is None:
+        ell = cloth.assemble_system(mesh)
+    if ssys == "deferred":
+        ssys = cloth.assemble_system_stencil(
+            mesh, positions=positions,
+            sym=os.environ.get("BENCH_SPMV_SYM", "0") == "1",
+        )
     if gridblocks is not None or boxblocks is not None:
         inv96 = out
         state, ells, b_sorted = None, None, None
