@@ -87,6 +87,14 @@ class SchwarzConfig:
     # per output row.)
     use_onehot_transfer: bool = True
 
+    # Debug-mode numerical guards: after every prepare(), fetch the built
+    # state and assert it is finite / symmetric / not overflowed
+    # (utils/guards.assert_healthy). Costs a host round-trip per prepare,
+    # so it is off by default; the PRECOND_DEBUG_CHECKS=1 env var turns it
+    # on without touching code (reference analogue: the stencil-overflow
+    # printf, cpp:312-316, was its only runtime diagnostic).
+    debug_checks: bool = False
+
     # Storage dtype of the factorized domain inverses. "bfloat16" halves
     # the apply-phase HBM traffic (the [B,96,96] read dominates each PCG
     # iteration); rounding a symmetric matrix entrywise keeps it exactly

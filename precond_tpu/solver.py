@@ -13,6 +13,7 @@ configuration and the current device state between phases.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -273,6 +274,10 @@ class SchwarzPreconditioner:
             cfg = grown
         self.cfg_effective = cfg
         self.state = state
+        if self.cfg.debug_checks or os.environ.get("PRECOND_DEBUG_CHECKS"):
+            from .utils.guards import assert_healthy
+
+            assert_healthy(state)
 
     def apply(self, r: jnp.ndarray) -> jnp.ndarray:
         assert self.state is not None, "call prepare() first"

@@ -55,3 +55,20 @@ def test_guards_catch_nan():
     bad = pre.state._replace(inv96=pre.state.inv96.at[0, 0, 0].set(jnp.nan))
     problems = validate_apply_state(bad)
     assert any("non-finite" in p for p in problems)
+
+
+def test_prepare_debug_checks_fire_on_poisoned_system():
+    """The production path itself runs the guards when cfg.debug_checks is
+    set: a poisoned input system (NaN diagonal block) must abort prepare()
+    instead of silently factorizing garbage."""
+    import pytest
+
+    mesh = cloth.make_grid(16, 16, z_wave=0.02)
+    ell = cloth.assemble_system(mesh)
+    bad = ell._replace(diag=ell.diag.at[7, 0, 0].set(jnp.nan))
+    pre = SchwarzPreconditioner(SchwarzConfig(debug_checks=True))
+    pre.allocate(mesh.positions)
+    with pytest.raises(AssertionError, match="non-finite"):
+        pre.prepare(bad)
+    # and the same config passes cleanly on the healthy system
+    pre.prepare(ell)
