@@ -1,19 +1,32 @@
 """Benchmark: PCG iteration throughput (SpMV + multilevel Schwarz apply).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Prints one JSON line PER CONFIG: {"metric", "value", "unit",
+"vs_baseline", ...extras}; the headline cloth config is printed LAST so a
+last-line parse lands on it. BENCH_CONFIGS selects the list (default
+"collide:256,tet:32,general:256,cloth:1024,cloth:256"); BENCH_CONFIG=X
+with BENCH_GRID=N runs a single config the round-3 way.
 
 Definitions
 -----------
 * metric value = scalar nonzeros processed per second by one PCG iteration:
   nnz(H) (the block-ELL SpMV) + the dense bytes-equivalent nonzeros of the
   banked inverse (the batched 96x96 symv of the preconditioner apply),
-  matching BASELINE.json's "nnz/s for SpMV + preconditioner apply".
+  matching BASELINE.json's "nnz/s for SpMV + preconditioner apply". The
+  two terms are also emitted separately (nnz_spmv / nnz_apply) so the
+  combined number cannot be misread as a conventional sparse-SpMV rate.
 * vs_baseline = wall-clock speedup of the full Schwarz-PCG solve to 1e-4
   relative residual vs. block-Jacobi PCG on the identical system (the
   reference repo publishes no numbers — BASELINE.md — so the Jacobi solve
   is the measurable stand-in for an unpreconditioned production baseline).
+  Per-rep ratios across the interleaved repeats are summarized as
+  vs_baseline_min/median; vs_baseline itself uses the min walls (the
+  round-2/3 definition, kept comparable).
+* vs_baseline_frames = the same ratio with prepare amortized over
+  BENCH_FRAME_SOLVES solves per prepare (default 4) — the reference's
+  production cadence is one prepare per Newton step re-used across a
+  frame's PCG solves (cpp:49 re-sorts only every 17th frame).
 
-Env knobs: BENCH_GRID (default 256), BENCH_ITERS (default 50).
+Env knobs: BENCH_CONFIGS / BENCH_CONFIG+BENCH_GRID, BENCH_ITERS (50).
 """
 
 import json
@@ -26,7 +39,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def main():
+def run_config(config, grid):
+    """Measure one config; returns the JSON-able result dict.
+
+    config: cloth | collide | tet | general. grid = grid side (tet: box
+    side). "general" is the cloth system forced down the unstructured
+    path — runtime Morton sort, build_hierarchy, banked assembly, ELL
+    permute, gather SpMV — i.e. the reference's arbitrary-mesh contract
+    (SeSchwarzPreconditioner.h:44-51) with no analytic-ordering shortcut.
+    """
     import jax
 
     # honor JAX_PLATFORMS even when a platform plugin (axon) outranks the
@@ -44,8 +65,7 @@ def main():
     from precond_tpu.parallel.pcg import jacobi_preconditioner, pcg
     from precond_tpu.solver import compute_sort_maps, prepare_grid, prepare_with_system
 
-    config = os.environ.get("BENCH_CONFIG", "cloth")  # cloth | tet | collide
-    grid = int(os.environ.get("BENCH_GRID", "256"))
+    general = config == "general"
     iters = int(os.environ.get("BENCH_ITERS", "50"))
     cfg = SchwarzConfig(
         inverse_dtype=os.environ.get("BENCH_INV_DTYPE", "float32"),
@@ -69,7 +89,7 @@ def main():
         from precond_tpu.models import tetmesh
         from precond_tpu.utils import boxmorton as bm
 
-        side = int(os.environ.get("BENCH_TET", "32"))
+        side = int(os.environ.get("BENCH_TET", str(grid)))
         # stiff-rubber regime (E ~ 5 MPa) — at the soft default (5e4) the
         # compact elastic block is so well-conditioned Jacobi converges in
         # ~50 iterations and the config measures nothing. A volumetric
@@ -539,49 +559,97 @@ def main():
     rj, _ = timed_once(j1, jargs, fetch1)
     timed_once(s2, sargs, fetch2)
     timed_once(j2, jargs, fetch2)
-    ts1 = tj1 = ts2 = tj2 = float("inf")
-    for _ in range(5):
-        rs, t = timed_once(s1, sargs, fetch1)
-        ts1 = min(ts1, t)
-        rj, t = timed_once(j1, jargs, fetch1)
-        tj1 = min(tj1, t)
-        _, t = timed_once(s2, sargs, fetch2)
-        ts2 = min(ts2, t)
-        _, t = timed_once(j2, jargs, fetch2)
-        tj2 = min(tj2, t)
+    reps = int(os.environ.get("BENCH_SOLVE_REPS", "5"))
+    rep_rows = []
+    for _ in range(reps):
+        rs, a = timed_once(s1, sargs, fetch1)
+        rj, b_ = timed_once(j1, jargs, fetch1)
+        _, c = timed_once(s2, sargs, fetch2)
+        _, d = timed_once(j2, jargs, fetch2)
+        rep_rows.append((a, b_, c, d))
+    ts1 = min(r[0] for r in rep_rows)
+    tj1 = min(r[1] for r in rep_rows)
+    ts2 = min(r[2] for r in rep_rows)
+    tj2 = min(r[3] for r in rep_rows)
     t_schwarz_raw, t_schwarz_iter = ts1, max(ts2 - ts1, 1e-9)
     t_jacobi_raw, t_jacobi = tj1, max(tj2 - tj1, 1e-9)
     t_schwarz = t_schwarz_iter + prepare_s
+    # per-rep ratios: each interleaved rep yields its own pair-differenced
+    # walls, so the spread across reps bounds the noise of the headline
+    # ratio (VERDICT r3 weak #1: one recorded rep is a thin base)
+    rep_ratios = sorted(
+        max(d - b_, 1e-9) / (max(c - a, 1e-9) + prepare_s)
+        for a, b_, c, d in rep_rows
+    )
+    ratio_median = rep_ratios[len(rep_ratios) // 2]
+
+    # amortized-frame ratio: K solves per prepare (reference cadence:
+    # hierarchy/inverse rebuilt per Newton step, re-sorted every 17 frames)
+    frame_k = int(os.environ.get("BENCH_FRAME_SOLVES", "4"))
+    vs_frames = (frame_k * t_jacobi) / (frame_k * t_schwarz_iter + prepare_s)
 
     # With pair differencing the dispatch floor no longer enters the
     # ratios; keep the flag for the (now informational) dispatch_ms field.
     dispatch_suspect = dispatch_s > 0.5 * min(t_schwarz_raw, t_jacobi_raw)
 
-    print(
-        json.dumps(
-            {
+    return {
+        "metric": "pcg_iteration_nnz_throughput",
+        "value": round(nnz_per_s / 1e9, 4),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(t_jacobi / t_schwarz, 3),
+        "vs_baseline_min": round(rep_ratios[0], 3),
+        "vs_baseline_median": round(ratio_median, 3),
+        "vs_baseline_excl_prepare": round(t_jacobi / t_schwarz_iter, 3),
+        "vs_baseline_frames": round(vs_frames, 3),
+        "frame_solves": frame_k,
+        "solve_reps": reps,
+        "config": config,
+        "grid": grid,
+        "num_verts": n,
+        "iter_ms": round(iter_s * 1e3, 4),
+        "prepare_ms": round(prepare_s * 1e3, 2),
+        "dispatch_ms": round(dispatch_s * 1e3, 2),
+        "nnz_spmv": nnz_spmv,
+        "nnz_apply": nnz_apply,
+        "schwarz_iters": int(rs.iterations),
+        "jacobi_iters": int(rj.iterations),
+        "schwarz_solve_ms": round(t_schwarz * 1e3, 2),
+        "jacobi_solve_ms": round(t_jacobi * 1e3, 2),
+        "schwarz_solve_raw_ms": round(t_schwarz_raw * 1e3, 2),
+        "jacobi_solve_raw_ms": round(t_jacobi_raw * 1e3, 2),
+        **({"dispatch_suspect": True} if dispatch_suspect else {}),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def main():
+    """Run the BENCH_CONFIGS list, one JSON line each, headline last.
+
+    A failing config prints an error line and does not abort the rest —
+    the driver's record should never be empty because one size OOMed.
+    BENCH_CONFIG (+BENCH_GRID) runs exactly one config, as in round 3.
+    """
+    if os.environ.get("BENCH_CONFIG"):
+        specs = [
+            (os.environ["BENCH_CONFIG"], int(os.environ.get("BENCH_GRID", "256")))
+        ]
+    else:
+        default = "collide:256,tet:32,general:256,cloth:1024,cloth:256"
+        specs = []
+        for part in os.environ.get("BENCH_CONFIGS", default).split(","):
+            name, _, sz = part.strip().partition(":")
+            specs.append((name, int(sz or "256")))
+    for name, sz in specs:
+        try:
+            row = run_config(name, sz)
+        except Exception as e:  # noqa: BLE001
+            row = {
                 "metric": "pcg_iteration_nnz_throughput",
-                "value": round(nnz_per_s / 1e9, 4),
-                "unit": "Gnnz/s",
-                "vs_baseline": round(t_jacobi / t_schwarz, 3),
-                "vs_baseline_excl_prepare": round(t_jacobi / t_schwarz_iter, 3),
-                "config": config,
-                "grid": grid,
-                "num_verts": n,
-                "iter_ms": round(iter_s * 1e3, 4),
-                "prepare_ms": round(prepare_s * 1e3, 2),
-                "dispatch_ms": round(dispatch_s * 1e3, 2),
-                "schwarz_iters": int(rs.iterations),
-                "jacobi_iters": int(rj.iterations),
-                "schwarz_solve_ms": round(t_schwarz * 1e3, 2),
-                "jacobi_solve_ms": round(t_jacobi * 1e3, 2),
-                "schwarz_solve_raw_ms": round(t_schwarz_raw * 1e3, 2),
-                "jacobi_solve_raw_ms": round(t_jacobi_raw * 1e3, 2),
-                **({"dispatch_suspect": True} if dispatch_suspect else {}),
-                "device": str(jax.devices()[0]),
+                "config": name,
+                "grid": sz,
+                "error": f"{type(e).__name__}: {e}"[:300],
             }
-        )
-    )
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":
