@@ -69,7 +69,15 @@ def run_config(config, grid):
     iters = int(os.environ.get("BENCH_ITERS", "50"))
     cfg = SchwarzConfig(
         inverse_dtype=os.environ.get("BENCH_INV_DTYPE", "float32"),
+        # "auto" engages the packed-symmetric Pallas symv (half the apply
+        # HBM read) once the inverse table outgrows VMEM residency
+        symv_kernel=os.environ.get("BENCH_SYMV", "auto"),
     )
+
+    from precond_tpu.ops.pallas.packed_symv import PackedInverse
+
+    def inv_leaf(x):
+        return x.f if isinstance(x, PackedInverse) else x
 
     # Light vertices + stiff springs: the stiffness-dominated, genuinely
     # ill-conditioned regime real cloth sims operate in (this is where the
@@ -274,9 +282,9 @@ def run_config(config, grid):
                 out = prepare_box(dg, dr, BOX_OFFSETS, bdims, cfg)
                 acc = jnp.float32(0)
                 for _ in range(k - 1):
-                    acc = acc + jnp.sum(out)
+                    acc = acc + jnp.sum(inv_leaf(out))
                     dg, dr, _ = jax.lax.optimization_barrier(
-                        (dg, dr, out[0, 0, 0])
+                        (dg, dr, inv_leaf(out)[0, 0, 0])
                     )
                     out = prepare_box(dg, dr, BOX_OFFSETS, bdims, cfg)
                 return out, acc
@@ -284,7 +292,7 @@ def run_config(config, grid):
             return jax.jit(run)
 
         prep_args = boxblocks
-        inv_of = lambda out: out  # noqa: E731
+        inv_of = inv_leaf
     elif gridblocks is not None:
         dgr, drr, goffsets = gridblocks
 
@@ -301,9 +309,9 @@ def run_config(config, grid):
                 out = prepare_grid(dg, dr, goffsets, gmk, cfg, s, o)
                 acc = jnp.float32(0)
                 for _ in range(k - 1):
-                    acc = acc + jnp.sum(out)
+                    acc = acc + jnp.sum(inv_leaf(out))
                     dg, dr, s, _ = jax.lax.optimization_barrier(
-                        (dg, dr, s, out[0, 0, 0])
+                        (dg, dr, s, inv_leaf(out)[0, 0, 0])
                     )
                     out = prepare_grid(dg, dr, goffsets, gmk, cfg, s, o)
                 return out, acc
@@ -311,7 +319,7 @@ def run_config(config, grid):
             return jax.jit(run)
 
         prep_args = (dgr, drr, stencils, maps.orig_to_sorted)
-        inv_of = lambda out: out  # noqa: E731
+        inv_of = inv_leaf
     else:
         if ell is None:
             ell = cloth.assemble_system(mesh)   # general path needs it now
@@ -330,9 +338,9 @@ def run_config(config, grid):
                 )
                 acc = jnp.float32(0)
                 for _ in range(k - 1):
-                    acc = acc + jnp.sum(st.inv96)
+                    acc = acc + jnp.sum(inv_leaf(st.inv96))
                     e, m, _ = jax.lax.optimization_barrier(
-                        (e, m, st.inv96[0, 0, 0])
+                        (e, m, inv_leaf(st.inv96)[0, 0, 0])
                     )
                     st, _ = prepare_with_system(
                         e, m, cfg, s, analytic_hier=analytic_hier
@@ -342,7 +350,7 @@ def run_config(config, grid):
             return jax.jit(run)
 
         prep_args = (ell, maps, stencils)
-        inv_of = lambda out: out.inv96  # noqa: E731
+        inv_of = lambda out: inv_leaf(out.inv96)  # noqa: E731
 
     # prepare wall: difference a 1-prepare and a PK-prepare chained
     # dispatch and divide by PK-1 — a longer chain averages contention
@@ -501,8 +509,14 @@ def run_config(config, grid):
     nnz_spmv = int(9 * (n + int(np.asarray(ell.mask).sum())))
     if contact is not None:
         nnz_spmv += int(9 * int(np.asarray(contact.mask).sum()))
-    nblocks = inv96.shape[0]
-    nnz_apply = int(nblocks * 96 * 96)
+    if isinstance(inv96, PackedInverse):
+        # packed-symmetric storage: 4704 stored floats per block (the
+        # reference's packed count) — the honest per-iteration data volume
+        nblocks = int(inv96.nb)
+        nnz_apply = int(nblocks * 4704)
+    else:
+        nblocks = inv96.shape[0]
+        nnz_apply = int(nblocks * 96 * 96)
     nnz_per_iter = nnz_spmv + nnz_apply
     nnz_per_s = nnz_per_iter / iter_s
 

@@ -75,6 +75,35 @@ class SchwarzConfig:
     # streams inv96 at memory speed; kept as an A/B hook).
     use_pallas_symv: bool = False
 
+    # Apply-phase inverse storage + symv kernel:
+    #   "dense"  — explicit [B,96,96] inverses, one XLA batched einsum. At
+    #              small B the whole table stays VMEM-resident across PCG
+    #              iterations (75 MB at 65k verts on a 128 MB-VMEM v5e:
+    #              0.068 ms/iter traced) — unbeatable there.
+    #   "packed" — 4704 floats/block (the reference's packed count,
+    #              cpp:165): batch-minor triangular packing + a Pallas
+    #              two-sided symv that reads each element once and uses it
+    #              for both A[i,j] and A[j,i] (ops/pallas/packed_symv.py).
+    #              Measured 0.83 ms/iter at 33.8k blocks on v5e (799 GB/s,
+    #              HBM roofline) vs 3.5 ms dense — for tables too big to
+    #              stay VMEM-resident. Implies float32 inverse storage.
+    #   "auto"   — packed iff num_blocks(n) >= packed_symv_min_blocks
+    #              (default: the point where the dense table outgrows VMEM)
+    #              and inverse_dtype is float32.
+    # Applies to the static grid/box paths (prepare_grid/prepare_box).
+    # The GSPMD sharded paths force dense (XLA cannot partition a
+    # pallas_call); the shard_map halo path may pass packed explicitly.
+    symv_kernel: str = "auto"
+    packed_symv_min_blocks: int = 4096
+    packed_symv_block_b: int = 256
+
+    def use_packed_symv(self, num_verts: int) -> bool:
+        if self.symv_kernel == "dense" or self.inverse_dtype != "float32":
+            return False
+        if self.symv_kernel == "packed":
+            return True
+        return self.num_blocks(num_verts) >= self.packed_symv_min_blocks
+
     # One-hot (broadcast-multiply-reduce) forms of the restriction and
     # prolongation transfer ops instead of the scatter/gather forms. The
     # scatter/gather forms are priced per ROW on TPU (~40/4.2 ns) and so
@@ -105,6 +134,7 @@ class SchwarzConfig:
     def __post_init__(self):
         assert self.bank_size == 32, "bank_size is pinned to 32 (uint32 masks / 96x96 blocks)"
         assert self.closure_iters >= math.ceil(math.log2(self.bank_size))
+        assert self.symv_kernel in ("auto", "dense", "packed"), self.symv_kernel
 
     # ---- static level geometry ------------------------------------------
 

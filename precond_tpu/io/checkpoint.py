@@ -116,8 +116,18 @@ def load_solver(path: str, pre: SchwarzPreconditioner) -> Optional[jnp.ndarray]:
             sorted_to_orig=_restore(data, "maps.sorted_to_orig", dtypes),
             orig_to_sorted=_restore(data, "maps.orig_to_sorted", dtypes),
         )
-    if "state.inv96" in data:
-        pre.state = ApplyState(
-            **{f: _restore(data, f"state.{f}", dtypes) for f in ApplyState._fields}
-        )
+    if "state.inv96" in data or "state.inv96.f" in data:
+        fields = {}
+        for f in ApplyState._fields:
+            if f == "inv96" and "state.inv96.f" in data:
+                # packed-symmetric inverse (saved as its nested fields)
+                from ..ops.pallas.packed_symv import PackedInverse
+
+                fields[f] = PackedInverse(
+                    **{k: _restore(data, f"state.inv96.{k}", dtypes)
+                       for k in PackedInverse._fields}
+                )
+            else:
+                fields[f] = _restore(data, f"state.{f}", dtypes)
+        pre.state = ApplyState(**fields)
     return _restore(data, "x", dtypes) if "x" in data else None

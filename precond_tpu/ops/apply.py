@@ -31,7 +31,7 @@ class ApplyState(NamedTuple):
     orig_to_sorted: jnp.ndarray  # i32[N]
     going_next: jnp.ndarray      # i32[total+1]
     ancestors: jnp.ndarray       # i32[N, L-1] node ids of each vertex's ancestors
-    inv96: jnp.ndarray           # f32[B,96,96]
+    inv96: jnp.ndarray           # f32[B,96,96] (or a packed_symv.PackedInverse)
     overflow: jnp.ndarray        # bool[]
     # Matmul-form restriction operators (see restrict_residual):
     # onehot[b, lc, i] = 1 iff in-bank node i of bank b belongs to the
@@ -234,7 +234,13 @@ def precondition_sorted(
     n = r_sorted.shape[0]
     mr = restrict_residual(r_sorted, state, cfg, n)
     rhs = mr.reshape(-1, 3 * BANK)                       # [B,96]
-    if cfg.use_pallas_symv:
+    from .pallas.packed_symv import PackedInverse, packed_symv
+
+    if isinstance(state.inv96, PackedInverse):
+        # packed-symmetric storage (the reference's 4704-float layout,
+        # cpp:165): half the HBM read at block counts beyond VMEM residency
+        z96 = packed_symv(state.inv96, rhs, block_b=cfg.packed_symv_block_b)
+    elif cfg.use_pallas_symv:
         from .pallas.symv import batched_symv
 
         z96 = batched_symv(state.inv96, rhs)

@@ -183,7 +183,14 @@ def precondition_grid(
         )
         parts.append(cur)
     mr = jnp.concatenate(parts, axis=0)              # [Btot, 96]
-    z96 = apply_block_inverse(inv96, mr)             # [Btot, 96]
+    from .pallas.packed_symv import PackedInverse, packed_symv
+
+    if isinstance(inv96, PackedInverse):
+        # packed-symmetric storage (4704 floats/block, cpp:165's count):
+        # halves the dominant HBM read of the iteration at large B
+        z96 = packed_symv(inv96, mr, block_b=cfg.packed_symv_block_b)
+    else:
+        z96 = apply_block_inverse(inv96, mr)         # [Btot, 96]
     # ---- prolong + additive collect (CollectFinalZ, cpp:1698-1719) ----
     top = min(levels, cfg.max_applied_levels)
     pz = z96[offs[top - 1] // BANK : offs[top] // BANK]

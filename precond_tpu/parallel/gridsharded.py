@@ -40,6 +40,11 @@ def grid_solve_step(
     max_iters: int = 200,
 ) -> PcgResult:
     """prepare_grid + grid-order PCG, pure function of device arrays."""
+    # GSPMD cannot partition a pallas_call: the packed-symv storage is a
+    # single-chip / shard_map feature, so this path pins dense inverses
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, symv_kernel="dense")
     inv96 = prepare_grid(diag_rows, dirs_rows, offsets, k, cfg)
 
     def pre_op(r):
@@ -68,8 +73,11 @@ def grid_contact_solve_step(
 ) -> PcgResult:
     """Contact-enabled grid solve: stencil Hessians in M (arithmetic
     climbs inside prepare_grid), contact ELL in the solved system."""
+    import dataclasses
+
     from ..ops.contact import contact_spmv
 
+    cfg = dataclasses.replace(cfg, symv_kernel="dense")  # see grid_solve_step
     inv96 = prepare_grid(diag_rows, dirs_rows, offsets, k, cfg, stencils, o2s)
 
     def pre_op(r):

@@ -178,6 +178,12 @@ def build_halo_system(ell_sorted: BlockEll, num_shards: int) -> HaloSystem:
 
 def split_apply_state(state: ApplyState, cfg: SchwarzConfig, n: int) -> ShardedApply:
     """Split prepare() output into fine-sharded / coarse-replicated parts."""
+    from ..ops.pallas.packed_symv import PackedInverse
+
+    assert not isinstance(state.inv96, PackedInverse), (
+        "the halo path slices inv96 by level; prepare with "
+        "symv_kernel='dense' for shard_map solves"
+    )
     offs = cfg.level_offsets(n)
     cap0, total = offs[1], offs[-1]
     total_coarse = total - cap0

@@ -43,6 +43,30 @@ def compute_sort_maps(positions: jnp.ndarray) -> SortMaps:
     return SortMaps(perm, morton.inverse_permutation(perm))
 
 
+def _factorize(h96: jnp.ndarray, cfg: SchwarzConfig, n: int):
+    """Batched 96x96 SPD factorization tail shared by the static prepares.
+
+    Returns dense [B,96,96] inverses (inverse_dtype), or — when
+    cfg.use_packed_symv(n) — the packed-symmetric PackedInverse form
+    (4704 floats/block, the reference's LDLtInverse512 packed count,
+    cpp:165,1349) that ops/gridapply.precondition_grid applies with the
+    Pallas two-sided symv at half the HBM traffic.
+    """
+    if cfg.inverse_kernel == "pallas" and jax.default_backend() != "cpu":
+        from .ops.pallas.chol_inverse import invert_spd_blocks_chol
+
+        inv96 = invert_spd_blocks_chol(h96, group=cfg.pallas_inverse_group)
+    elif cfg.inverse_kernel == "xla":
+        inv96 = invert_spd_blocks(h96)
+    else:
+        inv96 = invert_spd_blocks_panel(h96)
+    if cfg.use_packed_symv(n):
+        from .ops.pallas.packed_symv import pack_sym96
+
+        return pack_sym96(inv96, block_b=cfg.packed_symv_block_b)
+    return inv96.astype(jnp.dtype(cfg.inverse_dtype))
+
+
 @functools.partial(jax.jit, static_argnames=("offsets", "dims", "cfg"))
 def prepare_box(
     diag_rows: jnp.ndarray,   # f32[N,3,3] box (row-major) vertex order
@@ -75,15 +99,7 @@ def prepare_box(
         )
         terms = collision_terms(mapped)
     h96 = assemble_box_hessian(diag_rows, dirs_rows, offsets, dims, cfg, terms)
-    if cfg.inverse_kernel == "pallas" and jax.default_backend() != "cpu":
-        from .ops.pallas.chol_inverse import invert_spd_blocks_chol
-
-        inv96 = invert_spd_blocks_chol(h96, group=cfg.pallas_inverse_group)
-    elif cfg.inverse_kernel == "xla":
-        inv96 = invert_spd_blocks(h96)
-    else:
-        inv96 = invert_spd_blocks_panel(h96)
-    return inv96.astype(jnp.dtype(cfg.inverse_dtype))
+    return _factorize(h96, cfg, diag_rows.shape[0])
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "analytic_hier"))
@@ -131,15 +147,7 @@ def prepare_with_system(
     # (hi.restriction_operators rederives the same from going_next).
     onehot, pos, pbs = hier.onehot, hier.pos, hier.pb
     h96 = assemble_banked_hessian(ell_sorted, hier, cfg, terms)
-    if cfg.inverse_kernel == "pallas" and jax.default_backend() != "cpu":
-        from .ops.pallas.chol_inverse import invert_spd_blocks_chol
-
-        inv96 = invert_spd_blocks_chol(h96, group=cfg.pallas_inverse_group)
-    elif cfg.inverse_kernel == "xla":
-        inv96 = invert_spd_blocks(h96)
-    else:
-        inv96 = invert_spd_blocks_panel(h96)
-    inv96 = inv96.astype(jnp.dtype(cfg.inverse_dtype))
+    inv96 = _factorize(h96, cfg, n)
     state = ApplyState(
         sorted_to_orig=maps.sorted_to_orig,
         orig_to_sorted=maps.orig_to_sorted,
@@ -199,15 +207,7 @@ def prepare_grid(
         )
         terms = collision_terms(mapped)
     h96 = assemble_grid_hessian(diag_rows, dirs_rows, offsets, k, cfg, terms)
-    if cfg.inverse_kernel == "pallas" and jax.default_backend() != "cpu":
-        from .ops.pallas.chol_inverse import invert_spd_blocks_chol
-
-        inv96 = invert_spd_blocks_chol(h96, group=cfg.pallas_inverse_group)
-    elif cfg.inverse_kernel == "xla":
-        inv96 = invert_spd_blocks(h96)
-    else:
-        inv96 = invert_spd_blocks_panel(h96)
-    return inv96.astype(jnp.dtype(cfg.inverse_dtype))
+    return _factorize(h96, cfg, diag_rows.shape[0])
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

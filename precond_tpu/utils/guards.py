@@ -29,17 +29,25 @@ def check_finite(name: str, *arrays) -> List[str]:
 
 def validate_apply_state(state: ApplyState) -> List[str]:
     """Sanity-check a prepared preconditioner state."""
-    problems = check_finite("inv96", state.inv96)
+    from ..ops.pallas.packed_symv import PackedInverse
+
+    if isinstance(state.inv96, PackedInverse):
+        # packed storage keeps one copy of each off-diagonal element, so
+        # the applied operator is symmetric by construction — only
+        # finiteness can go wrong
+        problems = check_finite("inv96.packed", state.inv96.f, state.inv96.dg)
+    else:
+        problems = check_finite("inv96", state.inv96)
+        inv = np.asarray(state.inv96)
+        asym = np.abs(inv - np.swapaxes(inv, 1, 2)).max()
+        scale = max(np.abs(inv).max(), 1e-30)
+        if asym > 1e-5 * scale:
+            problems.append(f"inv96 asymmetry {asym:.3e} (scale {scale:.3e})")
     if bool(state.overflow):
         problems.append(
             "hierarchy overflow: a level exceeded its static capacity "
             "(raise SchwarzConfig.level_headroom)"
         )
-    inv = np.asarray(state.inv96)
-    asym = np.abs(inv - np.swapaxes(inv, 1, 2)).max()
-    scale = max(np.abs(inv).max(), 1e-30)
-    if asym > 1e-5 * scale:
-        problems.append(f"inv96 asymmetry {asym:.3e} (scale {scale:.3e})")
     return problems
 
 
