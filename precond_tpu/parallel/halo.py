@@ -207,11 +207,48 @@ def split_apply_state(state: ApplyState, cfg: SchwarzConfig, n: int) -> ShardedA
     )
 
 
+def local_contact_spmv(st, x_l: jnp.ndarray, axis: str, rows_per: int) -> jnp.ndarray:
+    """Sharded rank-1 stencil contact SpMV (ops/contact.stencil_contact_spmv).
+
+    The stencil set is REPLICATED per shard (contact coupling is the
+    algorithm's point — cpp:514-563, 1201-1227 — and the set is O(contacts),
+    tiny next to the system). Each shard contributes the stencil-vertex x
+    rows it owns to one psum of the compact [S,5,3] gather payload —
+    comm is O(stencils), never O(N) — then computes every stencil's rank-1
+    product and scatter-adds only into its own rows. Stencil ids are in
+    SORTED space (the halo solve's ordering).
+    """
+    s0 = jax.lax.axis_index(axis) * rows_per
+    act = st.valid[:, None] & (jnp.arange(5)[None, :] < st.nverts[:, None])
+    loc = st.idx - s0
+    own = act & (loc >= 0) & (loc < rows_per)
+    xg = jnp.take(
+        x_l, jnp.clip(loc, 0, rows_per - 1).reshape(-1), axis=0
+    ).reshape(st.idx.shape + (3,))
+    xs = jax.lax.psum(jnp.where(own[..., None], xg, 0.0), axis)  # [S,5,3]
+    w = jnp.where(act, st.weight, 0.0)
+    t = jnp.einsum("sv,svk,sk->s", w, xs, st.direction)
+    ys = ((st.stiff * t)[:, None] * w)[:, :, None] * st.direction[:, None, :]
+    tgt = jnp.where(own, loc, rows_per).reshape(-1)
+    tgt_b, ys_b = jax.lax.optimization_barrier((tgt, ys.reshape(-1, 3)))
+    return jnp.zeros((rows_per + 1, 3), jnp.float32).at[tgt_b].add(
+        ys_b, mode="drop"
+    )[:rows_per]
+
+
 def halo_pcg_solver(mesh: Mesh, cfg: SchwarzConfig, n: int, halo: int,
                     levels: int, total_coarse: int, axis: str = "x",
-                    tol: float = 1e-4, max_iters: int = 400):
-    """Build the jitted shard_map PCG solve (sorted-order b -> sorted x)."""
+                    tol: float = 1e-4, max_iters: int = 400,
+                    with_contact: bool = False):
+    """Build the jitted shard_map PCG solve (sorted-order b -> sorted x).
+
+    with_contact=True adds a replicated Stencils argument to the solve
+    (sorted-space vertex ids) whose rank-1 terms join the local SpMV —
+    the contact-heavy regime the preconditioner exists for can then run
+    on the explicitly-scheduled pod path, not only on GSPMD grids.
+    """
     nsh = mesh.shape[axis]
+    rows_per = n // nsh
     cap0 = cfg.level_offsets(n)[1]
     coffs = [o - cap0 for o in cfg.level_offsets(n)[1:]]  # coarse-vector level bounds
 
@@ -268,22 +305,34 @@ def halo_pcg_solver(mesh: Mesh, cfg: SchwarzConfig, n: int, halo: int,
     row = P(axis)
     rep = P()
 
+    from ..ops.stencils import Stencils
+
+    st_spec = Stencils(*([rep] * len(Stencils._fields)))
+    in_specs = (
+        (row, row, row, row, row),           # diag, idx_ext, blocks, send, recv
+        (row, row, row, rep, rep),           # gnf, anc1, invf, invc, gnc
+        row,                                 # b
+    ) + ((st_spec,) if with_contact else ())
+
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(
-            (row, row, row, row, row),           # diag, idx_ext, blocks, send, recv
-            (row, row, row, rep, rep),           # gnf, anc1, invf, invc, gnc
-            row,                                 # b
-        ),
+        in_specs=in_specs,
         out_specs=PcgResult(x=row, iterations=rep, rel_residual=rep),
         check_vma=False,
     )
-    def solve(ell_parts, sap_parts, b_l):
+    def solve(ell_parts, sap_parts, b_l, *rest):
         diag_l, idxext_l, blocks_l, send_l, recv_l = ell_parts
         gnf_l, anc1_l, invf_l, invc, gnc = sap_parts
+
+        def spmv_op(v):
+            q = local_spmv(diag_l, idxext_l, blocks_l, send_l, recv_l, v)
+            if with_contact:
+                q = q + local_contact_spmv(rest[0], v, axis, rows_per)
+            return q
+
         return pcg(
-            lambda v: local_spmv(diag_l, idxext_l, blocks_l, send_l, recv_l, v),
+            spmv_op,
             lambda r: local_apply(gnf_l, anc1_l, invf_l, invc, gnc, r),
             b_l,
             tol=tol,
@@ -296,19 +345,27 @@ def halo_pcg_solver(mesh: Mesh, cfg: SchwarzConfig, n: int, halo: int,
 
 def solve_sorted(mesh: Mesh, cfg: SchwarzConfig, halo_sys: HaloSystem,
                  sap: ShardedApply, b_sorted: jnp.ndarray, axis: str = "x",
-                 tol: float = 1e-4, max_iters: int = 400) -> PcgResult:
-    """Convenience wrapper: sorted-order solve over the mesh."""
+                 tol: float = 1e-4, max_iters: int = 400,
+                 stencils=None) -> PcgResult:
+    """Convenience wrapper: sorted-order solve over the mesh.
+
+    `stencils` (optional): sorted-space collision Stencils whose rank-1
+    contact terms join the sharded SpMV (replicated per shard).
+    """
     n = b_sorted.shape[0]
     levels = cfg.num_levels(n)
     cap0 = cfg.level_offsets(n)[1]
     # pad fine going_next/anc arrays to exactly n rows for row-sharding
     gnf = sap.going_next_fine[:n]
     solver = halo_pcg_solver(mesh, cfg, n, halo_sys.halo, levels,
-                             sap.total_coarse, axis, tol, max_iters)
+                             sap.total_coarse, axis, tol, max_iters,
+                             with_contact=stencils is not None)
+    extra = () if stencils is None else (stencils,)
     with mesh:
         return solver(
             (halo_sys.diag, halo_sys.idx_ext, halo_sys.blocks,
              halo_sys.send_idx, halo_sys.recv_perm),
             (gnf, sap.anc1, sap.inv_fine, sap.inv_coarse, sap.going_next_coarse),
             b_sorted,
+            *extra,
         )
