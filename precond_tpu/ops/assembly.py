@@ -124,45 +124,43 @@ class CollisionTerms(NamedTuple):
     diag_valid: jnp.ndarray # bool[Q]
 
 
-def _level_rows(idx, otl, lam, ok, blk9, myl, dself9, level: int) -> jnp.ndarray:
+def _level_rows(lane_ot, lam, ok, blk9, lane_my, dself9, level: int) -> jnp.ndarray:
     """Per-vertex 288-wide row contributions for one hierarchy level.
 
-    Combines, for target node myanc[:,level]:
+    Combines, for the vertex's level-`level` ancestor node:
       * off-diagonal blocks of pairs resolved exactly at `level`
-        (lane = climbed neighbor % 32);
+        (lane_ot = climbed neighbor % 32 at its merge level);
       * chain diagonal compensation of pairs resolved below `level`
-        (lane = own node % 32), cpp:1297-1343;
+        (lane_my = own ancestor % 32), cpp:1297-1343;
       * the self diagonal (+ additional), every level, cpp:1270,1309-1321.
     Chunked by lax.map so the [C,K,288] transients stay bounded.
     """
-    n, k = idx.shape
+    n, k = lam.shape
     chunk = min(_CHUNK, max(256, 1 << (n - 1).bit_length()))
     pad = (-n) % chunk
     def padded(a, fill=0):
         return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1), constant_values=fill)
 
     args = (
-        padded(otl), padded(lam), padded(ok), padded(blk9),
-        padded(myl), padded(dself9),
+        padded(lane_ot), padded(lam), padded(ok), padded(blk9),
+        padded(lane_my), padded(dself9),
     )
     args = tuple(a.reshape((-1, chunk) + a.shape[1:]) for a in args)
     ycol = jnp.asarray(_YCOL)
 
     def one(chunk):
-        otl_c, lam_c, ok_c, blk9_c, myl_c, dself9_c = chunk
-        lane_ot = otl_c % BANK                                 # [C,K]
-        lane_my = myl_c % BANK                                 # [C]
+        lane_ot_c, lam_c, ok_c, blk9_c, lane_my_c, dself9_c = chunk
         # elementwise expand-then-reduce on the VPU (exact f32). An
         # einsum formulation measured equal within session noise but
         # regressed 1M-vertex memory; this form is proven at 1M.
         sel = ok_c & (lam_c == level)
-        a = (lane_ot[..., None] == ycol) & sel[..., None]      # [C,K,288]
+        a = (lane_ot_c[..., None] == ycol) & sel[..., None]    # [C,K,288]
         if level > 0:
             sel_ch = ok_c & (lam_c < level)
-            a = a | ((lane_my[:, None, None] == ycol) & sel_ch[..., None])
+            a = a | ((lane_my_c[:, None, None] == ycol) & sel_ch[..., None])
         bv = _tile288(blk9_c)                                  # [C,K,288]
         vals = jnp.sum(a.astype(jnp.float32) * bv, axis=1)     # [C,288]
-        return vals + _diag_rows(dself9_c, lane_my)
+        return vals + _diag_rows(dself9_c, lane_my_c)
 
     out = jax.lax.map(one, args)
     return out.reshape(-1, ROW)[:n]
@@ -203,17 +201,20 @@ def assemble_banked_hessian(
     hier: Hierarchy,
     cfg: SchwarzConfig,
     collisions: Optional[CollisionTerms] = None,
+    merge_map=None,
 ) -> jnp.ndarray:
     """Assemble all domain Hessians -> f32[B, 96, 96] (B = total/32 blocks).
 
     `ell_sorted` is the system matrix permuted into Morton-sorted order.
+    `merge_map` (hierarchy.NeighborMergeMap, optional): per-pair merge
+    levels/lanes emitted by build_hierarchy — skips this function's
+    [N,K,L] ancestor gather, the dominant general-path prepare cost at 1M.
     """
     n = ell_sorted.num_verts
     levels = cfg.num_levels(n)
     total = cfg.total_capacity(n)
     nblocks = total // BANK
     gn = hier.going_next
-    anc = node_ancestor_table(gn, levels, total)  # i32[total+1, L]
 
     # m_additionalHessian32 (cpp:168): per-node extra diagonal, flat [total*9].
     addl9 = jnp.zeros((total * 9,), jnp.float32)
@@ -242,12 +243,23 @@ def assemble_banked_hessian(
         addl9 = _scalar_scatter9(addl9, pmy, pm9, ok_up, total)
         addl9 = _scalar_scatter9(addl9, pot, pm9, ok_up, total)
 
-    # ---- pair merge levels from ancestor chains (cpp:1282-1287) ----------
-    myanc = anc[:n]                                     # [N, L]
-    otanc = jnp.take(anc, ell_sorted.idx, axis=0)       # [N, K, L]
-    eq = (myanc[:, None, :] // BANK) == (otanc // BANK)
-    lam = jnp.argmax(eq, axis=-1).astype(jnp.int32)
-    ok = jnp.any(eq, axis=-1) & ell_sorted.mask
+    # ---- pair merge levels (cpp:1282-1287) --------------------------------
+    if merge_map is not None:
+        # emitted by build_hierarchy from its own per-level cu gathers
+        lam, lane_ot, ok = merge_map.lam, merge_map.lane_ot, merge_map.ok
+        lane_my = [hier.coarse_space[l] % BANK for l in range(levels)]
+    else:
+        # analytic hierarchies (no builder run): derive from ancestor chains
+        anc = node_ancestor_table(gn, levels, total)    # i32[total+1, L]
+        myanc = anc[:n]                                 # [N, L]
+        otanc = jnp.take(anc, ell_sorted.idx, axis=0)   # [N, K, L]
+        eq = (myanc[:, None, :] // BANK) == (otanc // BANK)
+        lam = jnp.argmax(eq, axis=-1).astype(jnp.int32)
+        ok = jnp.any(eq, axis=-1) & ell_sorted.mask
+        lane_ot = (
+            jnp.take_along_axis(otanc, lam[:, :, None], axis=2)[:, :, 0] % BANK
+        )
+        lane_my = [myanc[:, l] % BANK for l in range(levels)]
     blk9 = ell_sorted.blocks.reshape(n, -1, 9)
     dself9 = (ell_sorted.diag + addl9[: n * 9].reshape(n, 3, 3)).reshape(n, 9)
 
@@ -255,9 +267,7 @@ def assemble_banked_hessian(
     hb2 = jnp.zeros((total + 1, ROW), jnp.float32)
     offs = cfg.level_offsets(n)
     for l in range(levels):
-        vals = _level_rows(
-            ell_sorted.idx, otanc[:, :, l], lam, ok, blk9, myanc[:, l], dself9, l
-        )
+        vals = _level_rows(lane_ot, lam, ok, blk9, lane_my[l], dself9, l)
         if l == 0:
             hb2 = hb2.at[:n].add(vals)  # rows ARE the fine nodes
         else:
@@ -267,7 +277,11 @@ def assemble_banked_hessian(
     # ---- coarse-node additional, full chain (cpp:1236-1252) ---------------
     coarse_off = cfg.level_offsets(n)[1] if levels > 1 else total
     if coarse_off < total:
-        canc = anc[coarse_off:total]                    # [C, L]
+        # ancestor chains for the coarse segment only (O(total/32) rows)
+        ccols = [jnp.arange(coarse_off, total, dtype=jnp.int32)]
+        for _ in range(1, levels):
+            ccols.append(jnp.take(gn, ccols[-1]))
+        canc = jnp.stack(ccols, axis=1)                 # [C, L]
         cmat9 = addl9[coarse_off * 9 : total * 9].reshape(-1, 9)
         for l in range(levels):
             ids = canc[:, l]

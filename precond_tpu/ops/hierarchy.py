@@ -58,6 +58,23 @@ class StencilPairs(NamedTuple):
     valid: jnp.ndarray  # bool[P]
 
 
+class NeighborMergeMap(NamedTuple):
+    """Per ELL pair (v, k): where in the hierarchy the pair's banks merge.
+
+    Assembly needs, for every neighbor pair, the first level whose banks
+    coincide and the climbed neighbor's lane there (cpp:1282-1287). The
+    builder computes exactly the per-level neighbor cluster gathers
+    (`cu = take(cur_ids, nbr_idx)`) this requires — emitting the map from
+    the build makes the assembly's own [N,K,L] ancestor gather redundant
+    (the dominant general-path prepare cost at 1M, docs/ROADMAP.md
+    bottleneck #1: three [N,K]-class gathers -> one extra top-level one).
+    """
+
+    lam: jnp.ndarray      # i32[N,K] merge level (== levels when never)
+    lane_ot: jnp.ndarray  # i32[N,K] climbed-neighbor lane (%32) at merge
+    ok: jnp.ndarray       # bool[N,K] pair merges within the hierarchy
+
+
 class Hierarchy(NamedTuple):
     """Cluster hierarchy over the concatenated node space.
 
@@ -175,12 +192,18 @@ def build_hierarchy(
     nbr_mask: jnp.ndarray,
     cfg: SchwarzConfig,
     pairs: Optional[StencilPairs] = None,
-) -> Hierarchy:
+    with_merge_map: bool = False,
+):
     """Build the full cluster hierarchy from sorted-space adjacency.
 
     nbr_idx/nbr_mask: ELL vertex adjacency in Morton-sorted order, self
     excluded. pairs: optional collision-stencil connectivity (the reference
     injects it at every level, cpp:421,433).
+
+    with_merge_map=True returns (Hierarchy, NeighborMergeMap): the per-pair
+    merge level / lane fall out of the `cu` gathers the build performs
+    anyway (plus one top-level gather for pairs that only meet there), so
+    assembly can skip its own [N,K,L] ancestor gather.
     """
     n = nbr_idx.shape[0]
     levels = cfg.num_levels(n)
@@ -204,6 +227,9 @@ def build_hierarchy(
     rowmask0 = jnp.zeros((caps[0], BANK), bool).at[:n].set(rowmask0)
     adj = rowmask0.reshape(w0, BANK, BANK)
     remain = nbr_mask & ~same_bank
+    if with_merge_map:
+        mm_lam = jnp.where(same_bank, 0, levels).astype(jnp.int32)
+        mm_lane = (u % BANK).astype(jnp.int32)
     if pairs is not None:
         psame = (pairs.a // BANK == pairs.b // BANK) & (pairs.a != pairs.b) & pairs.valid
         adj = adj | neighbor_warp_masks_to_adjacency(pairs.a, pairs.b, psame, w0)
@@ -276,6 +302,9 @@ def build_hierarchy(
         cv = cur_ids
         cu = jnp.take(cur_ids, nbr_idx)
         cross = (cv[:, None] // BANK == cu // BANK) & remain
+        if with_merge_map:
+            mm_lam = jnp.where(cross, level, mm_lam)
+            mm_lane = jnp.where(cross, cu % BANK, mm_lane)
         nsame = cross & (cv[:, None] != cu)
         payload = jnp.zeros((caps[0], BANK), jnp.float32)
         payload = payload.at[:n].set(lane_bitmask_rows(cu, nsame).astype(jnp.float32))
@@ -296,7 +325,7 @@ def build_hierarchy(
             adj = adj | neighbor_warp_masks_to_adjacency(ca, cb, psame, wl)
         adj = adj | jnp.swapaxes(adj, 1, 2)
 
-    return Hierarchy(
+    hier = Hierarchy(
         going_next=going_next,
         coarse_space=jnp.stack(coarse_rows),
         level_sizes=jnp.stack(level_sizes),
@@ -305,6 +334,19 @@ def build_hierarchy(
         pos=pos_full,
         pb=pb_full,
     )
+    if not with_merge_map:
+        return hier
+    if levels > 1:
+        # pairs still unmerged may meet at the top level — the one extra
+        # [N,K] gather this map costs. The ideal-shrink level count can
+        # leave MORE than 32 active top clusters (degenerate graphs under
+        # headroom), so compare banks for real; pairs whose top banks
+        # differ never merge and drop, like the reference (cpp:1288-1291).
+        cu_top = jnp.take(cur_ids, nbr_idx)
+        top = remain & (cur_ids[:, None] // BANK == cu_top // BANK)
+        mm_lam = jnp.where(top, levels - 1, mm_lam)
+        mm_lane = jnp.where(top, cu_top % BANK, mm_lane)
+    return hier, NeighborMergeMap(lam=mm_lam, lane_ot=mm_lane, ok=mm_lam < levels)
 
 
 def ancestor_node_ids(h: Hierarchy, cfg: SchwarzConfig, n: int) -> jnp.ndarray:

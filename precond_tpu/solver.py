@@ -141,12 +141,15 @@ def prepare_with_system(
         from .ops.gridapply import analytic_hierarchy
 
         hier = analytic_hierarchy(n, cfg)
+        merge_map = None
     else:
-        hier = hi.build_hierarchy(ell_sorted.idx, ell_sorted.mask, cfg, pairs)
+        hier, merge_map = hi.build_hierarchy(
+            ell_sorted.idx, ell_sorted.mask, cfg, pairs, with_merge_map=True
+        )
     # The anchored one-hot transfer operators fall out of clustering
     # (hi.restriction_operators rederives the same from going_next).
     onehot, pos, pbs = hier.onehot, hier.pos, hier.pb
-    h96 = assemble_banked_hessian(ell_sorted, hier, cfg, terms)
+    h96 = assemble_banked_hessian(ell_sorted, hier, cfg, terms, merge_map=merge_map)
     inv96 = _factorize(h96, cfg, n)
     state = ApplyState(
         sorted_to_orig=maps.sorted_to_orig,

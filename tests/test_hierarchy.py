@@ -290,3 +290,46 @@ def test_inbuild_transfer_operators_match_rederived():
     np.testing.assert_array_equal(np.asarray(h.onehot), np.asarray(onehot))
     np.testing.assert_array_equal(np.asarray(h.pos), np.asarray(pos))
     np.testing.assert_array_equal(np.asarray(h.pb), np.asarray(pb))
+
+
+def test_merge_map_matches_ancestor_chains():
+    """The builder-emitted NeighborMergeMap must agree with the ancestor-
+    chain derivation the assembly used before (same lam / lane / ok), and
+    assembly must produce bit-identical Hessians either way."""
+    from precond_tpu.models import cloth
+    from precond_tpu.ops import blockcsr
+    from precond_tpu.ops.assembly import (
+        assemble_banked_hessian,
+        node_ancestor_table,
+    )
+    from precond_tpu.solver import compute_sort_maps
+
+    cfg = SchwarzConfig()
+    mesh = cloth.make_grid(48, 48, z_wave=0.02)   # 2304 verts, 3 levels
+    n = mesh.num_verts
+    ell = cloth.assemble_system(mesh)
+    maps = compute_sort_maps(jnp.asarray(mesh.positions))
+    ells = blockcsr.permute(ell, maps.sorted_to_orig, maps.orig_to_sorted)
+    h, mm = hi.build_hierarchy(ells.idx, ells.mask, cfg, None, with_merge_map=True)
+    h2 = hi.build_hierarchy(ells.idx, ells.mask, cfg, None)
+    np.testing.assert_array_equal(np.asarray(h.going_next), np.asarray(h2.going_next))
+
+    levels = cfg.num_levels(n)
+    total = cfg.total_capacity(n)
+    anc = node_ancestor_table(h.going_next, levels, total)
+    myanc = anc[:n]
+    otanc = jnp.take(anc, ells.idx, axis=0)
+    eq = (myanc[:, None, :] // 32) == (otanc // 32)
+    lam_ref = np.asarray(jnp.argmax(eq, axis=-1))
+    ok_ref = np.asarray(jnp.any(eq, axis=-1) & ells.mask)
+    lane_ref = np.asarray(
+        jnp.take_along_axis(otanc, jnp.asarray(lam_ref)[:, :, None], axis=2)[:, :, 0] % 32
+    )
+    ok = np.asarray(mm.ok)
+    np.testing.assert_array_equal(ok, ok_ref)
+    np.testing.assert_array_equal(np.asarray(mm.lam)[ok], lam_ref[ok])
+    np.testing.assert_array_equal(np.asarray(mm.lane_ot)[ok], lane_ref[ok])
+
+    h96_a = assemble_banked_hessian(ells, h, cfg, None)
+    h96_b = assemble_banked_hessian(ells, h, cfg, None, merge_map=mm)
+    np.testing.assert_array_equal(np.asarray(h96_a), np.asarray(h96_b))
