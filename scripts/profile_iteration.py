@@ -40,7 +40,7 @@ from precond_tpu.utils import gridmorton as gm
 K = int(os.environ.get("PROF_K", "50"))
 grid = int(os.environ.get("BENCH_GRID", "256"))
 k_gm = grid.bit_length() - 1
-cfg = SchwarzConfig()
+cfg = SchwarzConfig(symv_kernel=os.environ.get("BENCH_SYMV", "auto"))
 mesh = cloth.make_grid(grid, grid, z_wave=0.02, mass=0.001, dt=1.0 / 60.0)
 n = mesh.num_verts
 
@@ -64,12 +64,21 @@ def pre_full(st, r):
     return gm.morton_to_grid(precondition_grid(st, rs, cfg), k_gm)
 
 
+def _symv(st, rhs):
+    from precond_tpu.ops.pallas.packed_symv import PackedInverse, packed_symv
+
+    if isinstance(st, PackedInverse):
+        return packed_symv(st, rhs, block_b=cfg.packed_symv_block_b)
+    return apply_block_inverse(st, rhs)
+
+
 def pre_symv_only(st, r):
+    # NOTE: applies ALL Btot blocks (incl. coarse) to the fine vector
+    # reshaped - op mix attribution only, numerically meaningless
     rs = gm.grid_to_morton(r, k_gm)
-    z = apply_block_inverse(
-        st[: n // BANK], rs.reshape(-1, 3 * BANK)
-    ).reshape(-1, 3)
-    return gm.morton_to_grid(z, k_gm)
+    pad = jnp.zeros((_btot * BANK - n, 3), rs.dtype)
+    z = _symv(st, jnp.concatenate([rs, pad]).reshape(-1, 3 * BANK)).reshape(-1, 3)
+    return gm.morton_to_grid(z[:n], k_gm)
 
 
 def pre_no_cross(st, r):
@@ -116,7 +125,8 @@ def loop_for(use_spmv, pre_op):
     return jax.jit(k_iterations)
 
 
-print(f"grid={grid} n={n} K={K} blocks={inv96.shape[0]}")
+_btot = cfg.total_capacity(n) // BANK
+print(f"grid={grid} n={n} K={K} blocks={_btot} packed={type(inv96).__name__=='PackedInverse'}")
 base = None
 for name, (use_spmv, pre_op) in VARIANTS.items():
     fn = loop_for(use_spmv, pre_op)
