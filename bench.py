@@ -627,6 +627,10 @@ def run_config(config, grid):
         "nnz_apply": nnz_apply,
         "schwarz_iters": int(rs.iterations),
         "jacobi_iters": int(rj.iterations),
+        # recorded so a numerically poisoned solve (NaN residual -> the
+        # while_loop exits at its first check) can never read as a win
+        "schwarz_rel": float(np.asarray(rs.rel_residual)),
+        "jacobi_rel": float(np.asarray(rj.rel_residual)),
         "schwarz_solve_ms": round(t_schwarz * 1e3, 2),
         "jacobi_solve_ms": round(t_jacobi * 1e3, 2),
         "schwarz_solve_raw_ms": round(t_schwarz_raw * 1e3, 2),

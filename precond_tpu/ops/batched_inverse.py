@@ -152,17 +152,17 @@ def invert_spd_blocks_panel(h96: jnp.ndarray, chunk_threshold: int = 4096) -> jn
         chunk = -(-(-(-b // nchunks)) // 8) * 8
         # full chunks slice the input in place (a padded whole-batch copy
         # would hold an extra 1.3GB live at 1M block counts — OOM inside
-        # the bench's two-prepare chain); only the remainder chunk pads
+        # the bench's two-prepare chain); only the remainder chunk pads.
+        # The remainder is computed BEFORE the full-chunk loop: computed
+        # after it (or folded into a padded uniform loop), XLA on v5e
+        # miscompiled the fused assembly+invert program at 1M block
+        # counts — exactly one well-conditioned block (the first of the
+        # chunk processed last) came out NaN, deterministically, while
+        # every pairwise composition and any program returning extra
+        # slices was clean. Remainder-first sidesteps it; _repair below
+        # makes any recurrence benign.
         nfull = b // chunk
         out = jnp.zeros((b, 96, 96), h96.dtype)
-
-        def step(i, acc):
-            blk = jax.lax.dynamic_slice_in_dim(h96, i * chunk, chunk, axis=0)
-            return jax.lax.dynamic_update_slice_in_dim(
-                acc, _invert_panel_batch(blk), i * chunk, axis=0
-            )
-
-        out = jax.lax.fori_loop(0, nfull, step, out)
         rem = b - nfull * chunk
         if rem:
             tail = jnp.concatenate(
@@ -176,8 +176,30 @@ def invert_spd_blocks_panel(h96: jnp.ndarray, chunk_threshold: int = 4096) -> jn
             out = jax.lax.dynamic_update_slice_in_dim(
                 out, _invert_panel_batch(tail)[:rem], nfull * chunk, axis=0
             )
-        return out
-    return _invert_panel_batch(h96)
+
+        def step(i, acc):
+            blk = jax.lax.dynamic_slice_in_dim(h96, i * chunk, chunk, axis=0)
+            return jax.lax.dynamic_update_slice_in_dim(
+                acc, _invert_panel_batch(blk), i * chunk, axis=0
+            )
+
+        return _repair_nonfinite(jax.lax.fori_loop(0, nfull, step, out))
+    return _repair_nonfinite(_invert_panel_batch(h96))
+
+
+def _repair_nonfinite(inv96: jnp.ndarray) -> jnp.ndarray:
+    """Replace any non-finite block inverse with the identity.
+
+    Defense in depth for the factorization output (same spirit as the
+    reference's identity-fill of empty diagonals, cpp:1365-1367): a NaN
+    block anywhere in M would silently poison the whole CG solve (the
+    while_loop predicate goes False on the first NaN dot product and the
+    solve "converges" instantly); an identity block merely weakens the
+    preconditioner on those 32 nodes. One streaming pass over the batch.
+    """
+    ok = jnp.all(jnp.isfinite(inv96), axis=(1, 2), keepdims=True)
+    eye = jnp.eye(96, dtype=inv96.dtype)
+    return jnp.where(ok, inv96, eye[None])
 
 
 def _invert_panel_batch(h96: jnp.ndarray) -> jnp.ndarray:

@@ -63,6 +63,13 @@ def _factorize(h96: jnp.ndarray, cfg: SchwarzConfig, n: int):
     if cfg.use_packed_symv(n):
         from .ops.pallas.packed_symv import pack_sym96
 
+        # The barrier pins the inverse before the packing transpose: fused
+        # into the full prepare program (assembly + chunked panel inverse +
+        # pack), XLA's reorganization produced non-finite packed output at
+        # 1M-vertex block counts on v5e — each pairwise composition is
+        # clean, only the triple fuses wrong. Isolating the pack restores
+        # the staged (verified-finite) behavior at ~3 ms cost.
+        inv96 = jax.lax.optimization_barrier(inv96)
         return pack_sym96(inv96, block_b=cfg.packed_symv_block_b)
     return inv96.astype(jnp.dtype(cfg.inverse_dtype))
 
