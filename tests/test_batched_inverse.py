@@ -49,3 +49,18 @@ def test_panel_inverse_chunked_matches_cholesky_oracle():
     assert err < 1e-4
     # exact symmetry by construction (Gram form)
     np.testing.assert_array_equal(chunked, np.swapaxes(chunked, 1, 2))
+
+
+def test_nonfinite_block_repair():
+    """A non-finite block in the factorization output is replaced by the
+    identity (defense against the fused-program miscompile observed at 1M
+    on v5e) instead of poisoning the whole preconditioner."""
+    from precond_tpu.ops.batched_inverse import _repair_nonfinite
+
+    rng = np.random.default_rng(0)
+    inv = jnp.asarray(rng.standard_normal((5, 96, 96)).astype(np.float32))
+    bad = inv.at[2, 10, 3].set(jnp.nan).at[4, 0, 0].set(jnp.inf)
+    out = np.asarray(_repair_nonfinite(bad))
+    np.testing.assert_array_equal(out[[0, 1, 3]], np.asarray(inv)[[0, 1, 3]])
+    np.testing.assert_array_equal(out[2], np.eye(96, dtype=np.float32))
+    np.testing.assert_array_equal(out[4], np.eye(96, dtype=np.float32))
