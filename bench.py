@@ -647,6 +647,19 @@ def main():
     the driver's record should never be empty because one size OOMed.
     BENCH_CONFIG (+BENCH_GRID) runs exactly one config, as in round 3.
     """
+    # persistent compilation cache: the tunneled remote-compile service is
+    # slow and drops long-running compiles; caching lets a retried or
+    # multi-config run reuse every program that ever compiled successfully
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     if os.environ.get("BENCH_CONFIG"):
         specs = [
             (os.environ["BENCH_CONFIG"], int(os.environ.get("BENCH_GRID", "256")))
