@@ -272,6 +272,11 @@ class SchwarzPreconditioner:
         import warnings
 
         cfg = self.cfg_effective
+        debug = self.cfg.debug_checks or os.environ.get("PRECOND_DEBUG_CHECKS")
+        if debug:
+            from .utils.guards import assert_system_finite
+
+            assert_system_finite(ell)
         for _ in range(self.MAX_OVERFLOW_RETRIES + 1):
             state = prepare_preconditioner(ell, self.maps, cfg, stencils)
             if not bool(state.overflow):
@@ -284,7 +289,7 @@ class SchwarzPreconditioner:
             cfg = grown
         self.cfg_effective = cfg
         self.state = state
-        if self.cfg.debug_checks or os.environ.get("PRECOND_DEBUG_CHECKS"):
+        if debug:
             from .utils.guards import assert_healthy
 
             assert_healthy(state)

@@ -179,3 +179,104 @@ def crossing_pair(k: int):
     if k <= _MM_MAX_K:
         return grid_to_morton_mm, morton_to_grid_mm
     return grid_to_morton, morton_to_grid
+
+
+# ---- patch-Morton crossing ----------------------------------------------
+# The analytic order factors EXACTLY as "Morton over 32x32 grid patches,
+# fixed 1024-permutation within each patch": for tile (ti, tj) write
+# ti = 4a+u, tj = 8b+(2v+w') with u, v two bits and hi = tj>>1 = 4b+v;
+# then spread(ti) = spread(u) + (spread(a) << 4), so
+#   rank = [(2 spread(u) + spread(v)) << 1 | w']  +  [(2 spread(a) + spread(b)) << 5]
+# and the bracketed low 5+5 bits sweep all of [0,1024) within one patch.
+# Hence crossing = ONE (32,32)-tile-granular transpose (moved axis is
+# 32-wide: pure (8,128)-tile block moves, unlike the 3/4-minor transposes
+# above) + ONE row gather of N/1024 patch rows + ONE FIXED [1024,1024]
+# one-hot selector matmul (bit-exact under HIGHEST: each output row has
+# exactly one nonzero product). O(N*1024) MXU FLOPs at ANY n — the slab
+# selector's O(N^1.5) growth is gone.
+
+_PATCH = 32  # 4x8 tiles = 32 banks = 1024 vertices per patch
+
+
+@functools.lru_cache(maxsize=1)
+def _patch_perm() -> np.ndarray:
+    """perm[1024]: bank-flat position p holds patch-local grid index perm[p]."""
+    i, j = np.meshgrid(np.arange(_PATCH), np.arange(_PATCH), indexing="ij")
+    ti, tj = i >> 3, j >> 2
+    lane = (i & 7) * TILE_J + (j & 3)
+    sp2 = lambda t: (t & 1) + ((t >> 1) & 1) * 4  # noqa: E731
+    bank = ((2 * sp2(ti) + sp2(tj >> 1)) << 1) | (tj & 1)
+    perm = np.empty(_PATCH * _PATCH, np.int64)
+    perm[(bank * 32 + lane).ravel()] = (i * _PATCH + j).ravel()
+    return perm
+
+
+@functools.lru_cache(maxsize=1)
+def _patch_selector() -> np.ndarray:
+    """S[1024,1024] one-hot: (S @ x_gridflat) = x in bank-flat order."""
+    s = np.zeros((1024, 1024), np.float32)
+    s[np.arange(1024), _patch_perm()] = 1.0
+    return s
+
+
+@functools.lru_cache(maxsize=8)
+def _patch_rank(k: int) -> np.ndarray:
+    """Morton rank of each 32x32 patch, row-major patch index -> rank."""
+    m = 1 << (k - 5)
+    a, b = np.meshgrid(np.arange(m), np.arange(m), indexing="ij")
+
+    def spread(t):
+        out = np.zeros_like(t, dtype=np.uint64)
+        for q in range(max(k - 5, 1)):
+            out |= ((t.astype(np.uint64) >> q) & 1) << (2 * q)
+        return out
+
+    return (2 * spread(a) + spread(b)).reshape(-1).astype(np.int64)
+
+
+@functools.lru_cache(maxsize=8)
+def _rank_to_patch(k: int) -> np.ndarray:
+    r = _patch_rank(k)
+    out = np.empty_like(r)
+    out[r] = np.arange(r.size)
+    return out
+
+
+def grid_to_morton_patch(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """grid_to_morton via the patch factorization (bit-identical)."""
+    assert k >= 5, "patch crossing needs a >=32x32 grid"
+    n = 1 << k
+    m = n // _PATCH
+    lead = x.shape[1:]
+    w = int(np.prod(lead)) if lead else 1
+    tiles = (
+        x.reshape(m, _PATCH, m, _PATCH * w)
+        .transpose(0, 2, 1, 3)
+        .reshape(m * m, _PATCH * _PATCH, w)
+    )
+    xp = jnp.take(tiles, jnp.asarray(_rank_to_patch(k)), axis=0)
+    out = jnp.einsum(
+        "xy,pyw->pxw", jnp.asarray(_patch_selector()), xp,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.reshape((4**k,) + lead)
+
+
+def morton_to_grid_patch(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Inverse of grid_to_morton_patch (transposed selector, rank take)."""
+    assert k >= 5
+    n = 1 << k
+    m = n // _PATCH
+    lead = x.shape[1:]
+    w = int(np.prod(lead)) if lead else 1
+    xp = x.reshape(m * m, _PATCH * _PATCH, w)
+    y = jnp.einsum(
+        "yx,pyw->pxw", jnp.asarray(_patch_selector()), xp,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    tiles = jnp.take(y, jnp.asarray(_patch_rank(k)), axis=0)
+    return (
+        tiles.reshape(m, m, _PATCH, _PATCH * w)
+        .transpose(0, 2, 1, 3)
+        .reshape((4**k,) + lead)
+    )

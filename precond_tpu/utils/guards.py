@@ -54,3 +54,18 @@ def validate_apply_state(state: ApplyState) -> List[str]:
 def assert_healthy(state: ApplyState) -> None:
     problems = validate_apply_state(state)
     assert not problems, "; ".join(problems)
+
+
+def assert_system_finite(ell) -> None:
+    """Abort on a poisoned INPUT system (NaN/Inf in diag or blocks).
+
+    Checked separately from the prepared state: the inverse pass repairs
+    transiently non-finite blocks (identity fill, the reference's
+    cpp:1365-1367 treatment), so a poisoned input could otherwise
+    factorize to a finite-but-meaningless preconditioner.
+    """
+    problems = check_finite("system.diag", ell.diag)
+    blocks = getattr(ell, "blocks", None)
+    if blocks is not None:
+        problems += check_finite("system.blocks", blocks)
+    assert not problems, "; ".join(problems)
