@@ -87,3 +87,20 @@ def test_analytic_maps_give_valid_solver_ordering():
               lambda r: precondition(state, r, cfg), b, tol=1e-4, max_iters=400)
     assert float(res.rel_residual) < 1e-4
     assert int(res.iterations) < 60
+
+
+def test_patch_crossing_bit_identical():
+    """The patch factorization (Morton over 32x32 patches + fixed 1024
+    intra-patch selector) must reproduce grid_to_morton/morton_to_grid
+    EXACTLY — it is a re-bracketing of the same permutation, and the
+    one-hot HIGHEST matmul has exactly one nonzero product per output."""
+    rng = np.random.default_rng(3)
+    for k in (5, 6):
+        n = 4**k
+        for lead in ((), (3,), (9,)):
+            x = jnp.asarray(rng.standard_normal((n,) + lead).astype(np.float32))
+            a = gm.grid_to_morton(x, k)
+            b = gm.grid_to_morton_patch(x, k)
+            assert (np.asarray(a) == np.asarray(b)).all()
+            c = gm.morton_to_grid_patch(a, k)
+            assert (np.asarray(c) == np.asarray(x)).all()
