@@ -155,6 +155,58 @@ def _sel96():
     return _SEL96
 
 
+def precondition_grid_cm(
+    inv_cm, rs_cm: jnp.ndarray, cfg: SchwarzConfig
+) -> jnp.ndarray:
+    """Component-major apply: z^T = M^-1 r^T on [3, N] sorted vectors.
+
+    The comp-major solve path (crossing via utils/gridmorton.grid_to_
+    morton_cm, SpMV via gridstencil.spmv_t) carries every vector as three
+    component planes. In that convention the transfers need NO selector
+    matmuls and NO payload interleaves at all:
+
+      restriction  = lane-axis reshape-sum per bank  (minor 32, native)
+      prolongation = lane-axis broadcast of the parent plane
+
+    because level l+1's bank b groups exactly the 32 consecutive level-l
+    banks b*32..b*32+31 (the analytic hierarchy's arithmetic parent map).
+    The symv is the batch-minor Pallas kernel, whose native [96, B] rhs is
+    just the three [32, B] planes stacked on sublanes — inv_cm must be the
+    comp-major-permuted PackedInverse (ops/pallas/packed_symv.pack_sym96_cm).
+    Reference semantics: BuildResidualHierarchy cpp:1548-1598, SchwarzLocalXSym
+    cpp:1600-1696, CollectFinalZ cpp:1698-1719.
+    """
+    from .pallas.packed_symv import PackedInverse, packed_symv_cm
+
+    assert isinstance(inv_cm, PackedInverse), "cm path needs pack_sym96_cm"
+    n = rs_cm.shape[1]
+    offs = cfg.level_offsets(n)
+    levels = cfg.num_levels(n)
+    sizes = grid_level_sizes(n, cfg)
+    # ---- restrict: per-level lane sums ----
+    parts = [rs_cm.reshape(3, n // BANK, BANK)]
+    cur = parts[0]
+    for l in range(levels - 1):
+        nbl = (sizes[l] + BANK - 1) // BANK
+        vals = cur[:, :nbl].sum(axis=2)                  # (3, sizes[l+1])
+        capb = (offs[l + 2] - offs[l + 1]) // BANK
+        cur = jnp.pad(vals, ((0, 0), (0, capb * BANK - vals.shape[1]))).reshape(
+            3, capb, BANK
+        )
+        parts.append(cur)
+    mr = jnp.concatenate(parts, axis=1)                  # (3, Btot, 32)
+    z3 = packed_symv_cm(inv_cm, mr, block_b=cfg.packed_symv_block_b)
+    # ---- prolong + additive collect ----
+    top = min(levels, cfg.max_applied_levels)
+    pz = z3[:, offs[top - 1] // BANK : offs[top] // BANK]
+    for l in range(top - 2, -1, -1):
+        curz = z3[:, offs[l] // BANK : offs[l + 1] // BANK]
+        nb = (offs[l + 1] - offs[l]) // BANK
+        vals = pz.reshape(3, -1)[:, :nb]                 # parent z per child bank
+        pz = curz + vals[:, :, None]
+    return pz.reshape(3, -1)[:, :n]
+
+
 def precondition_grid(
     inv96: jnp.ndarray, r_sorted: jnp.ndarray, cfg: SchwarzConfig
 ) -> jnp.ndarray:

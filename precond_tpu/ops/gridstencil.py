@@ -71,9 +71,18 @@ jax.tree_util.register_pytree_node(
 
 def spmv(sys: StencilSystem, x: jnp.ndarray) -> jnp.ndarray:
     """y = H x for x f32[N,3] in grid (row-major) vertex order."""
+    return jnp.transpose(spmv_t(sys, jnp.transpose(x)))
+
+
+def spmv_t(sys: StencilSystem, xt: jnp.ndarray) -> jnp.ndarray:
+    """y^T = H x for x^T f32[3,N]: the component-major core of spmv.
+
+    The contraction is vertex-minor throughout, so a solve that carries
+    its vectors component-major ([3,N]) skips the two [N,3] transposes
+    per SpMV entirely (the comp-major solve path, ops/gridapply).
+    """
     nx, ny = sys.grid
     pad = max(max(abs(di), abs(dj)) for di, dj in sys.offsets) if sys.offsets else 0
-    xt = jnp.transpose(x)                                 # [3,N] (layout no-op)
     xg = xt.reshape(3, nx, ny)
     xp = jnp.pad(xg, ((0, 0), (pad, pad), (pad, pad)))
     yt = jnp.einsum("ijn,jn->in", sys.diag_t, xt, preferred_element_type=jnp.float32)
@@ -83,7 +92,7 @@ def spmv(sys: StencilSystem, x: jnp.ndarray) -> jnp.ndarray:
             yt = yt + jnp.einsum(
                 "ijn,jn->in", sys.dirs_t[d], w, preferred_element_type=jnp.float32
             )
-        return jnp.transpose(yt)
+        return yt
     # Symmetric half-storage: per canonical plane S_d (the block of the
     # spring leaving v toward v+d), apply BOTH couplings from one read:
     #   y[v]   += S_d[v] . x[v+d]
@@ -99,7 +108,7 @@ def spmv(sys: StencilSystem, x: jnp.ndarray) -> jnp.ndarray:
         yt = yt + both[0]
         tp = jnp.pad(both[1].reshape(3, nx, ny), ((0, 0), (pad, pad), (pad, pad)))
         yt = yt + tp[:, pad - di : pad - di + nx, pad - dj : pad - dj + ny].reshape(3, -1)
-    return jnp.transpose(yt)
+    return yt
 
 
 def pin_vertices(sys: StencilSystem, pinned: jnp.ndarray, big_diag: float) -> StencilSystem:

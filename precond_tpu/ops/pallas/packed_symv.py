@@ -167,6 +167,54 @@ def packed_symv(
     return jnp.transpose(zt[:, :b], (1, 0))
 
 
+_CM_PERM = None
+
+
+def _cm_perm():
+    """DOF permutation lane-major -> component-major: new DOF c*32+l is
+    old DOF l*3+c (the bank's 32 3-vectors regrouped into 3 planes)."""
+    global _CM_PERM
+    if _CM_PERM is None:
+        import numpy as np
+
+        c, l = np.meshgrid(np.arange(3), np.arange(32), indexing="ij")
+        _CM_PERM = (l * 3 + c).reshape(-1)               # [96] new -> old
+    return _CM_PERM
+
+
+def pack_sym96_cm(inv96: jnp.ndarray, block_b: int = 256) -> PackedInverse:
+    """pack_sym96 with the bank DOF convention permuted to component-major.
+
+    The comp-major solve path (ops/gridapply.precondition_grid_cm) keeps
+    every vector as 3 component planes; permuting the inverse rows/cols
+    once at prepare time lets the apply skip all payload interleaves."""
+    p = jnp.asarray(_cm_perm())
+    return pack_sym96(inv96[:, p][:, :, p], block_b=block_b)
+
+
+def packed_symv_cm(
+    packed: PackedInverse,
+    rs3: jnp.ndarray,  # f32[3, B, 32] comp-plane bank vectors
+    block_b: int = 256,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """[3,B,32] -> [3,B,32] through the batch-minor kernel.
+
+    The kernel's native rhs layout is [96, B] DOF-major; in comp-major
+    convention that is just the three [32, B] planes stacked along
+    sublanes — one (B,32)->(32,B) transpose per direction (32-granular,
+    ~25 us at 1M verts) instead of the [B,96] interleave."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b = rs3.shape[1]
+    bp = packed.f.shape[2]
+    xt = rs3.transpose(0, 2, 1).reshape(96, b)
+    if bp != b:
+        xt = jnp.pad(xt, ((0, 0), (0, bp - b)))
+    zt = packed_symv_t(packed, xt, block_b=block_b, interpret=interpret)
+    return zt[:, :b].reshape(3, 32, b).transpose(0, 2, 1)
+
+
 def packed_symv_ref(packed: PackedInverse, rhs: jnp.ndarray) -> jnp.ndarray:
     """Pure-jnp oracle: unpack to dense and einsum (tests only)."""
     f = jnp.transpose(packed.f, (2, 0, 1))              # [Bp,48,96]

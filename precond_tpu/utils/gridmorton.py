@@ -262,6 +262,51 @@ def grid_to_morton_patch(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return out.reshape((4**k,) + lead)
 
 
+def grid_to_morton_cm(xt: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Component-major crossing: [w, 4^k] grid-flat -> [w, 4^k] sorted.
+
+    The MXU-efficient orientation of the patch factorization: the payload
+    axis w rides the matmul M-dim ([w*P, 1024] @ S^T, no 128-lane padding
+    waste), the moved transpose axis is 32-wide (tile-granular), and the
+    patch gather is w*4 KB rows. The comp-major solve path's crossing.
+    """
+    assert k >= 5
+    n = 1 << k
+    m = n // _PATCH
+    w = xt.shape[0]
+    tiles = (
+        xt.reshape(w, m, _PATCH, m, _PATCH)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(w, m * m, _PATCH * _PATCH)
+    )
+    xp = jnp.take(tiles, jnp.asarray(_rank_to_patch(k)), axis=1)
+    out = jnp.matmul(
+        xp.reshape(w * m * m, _PATCH * _PATCH),
+        jnp.asarray(_patch_selector()).T,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.reshape(w, 4**k)
+
+
+def morton_to_grid_cm(xt: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Inverse of grid_to_morton_cm."""
+    assert k >= 5
+    n = 1 << k
+    m = n // _PATCH
+    w = xt.shape[0]
+    y = jnp.matmul(
+        xt.reshape(w * m * m, _PATCH * _PATCH),
+        jnp.asarray(_patch_selector()),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(w, m * m, _PATCH * _PATCH)
+    tiles = jnp.take(y, jnp.asarray(_patch_rank(k)), axis=1)
+    return (
+        tiles.reshape(w, m, m, _PATCH, _PATCH)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(w, 4**k)
+    )
+
+
 def morton_to_grid_patch(x: jnp.ndarray, k: int) -> jnp.ndarray:
     """Inverse of grid_to_morton_patch (transposed selector, rank take)."""
     assert k >= 5

@@ -102,6 +102,43 @@ def sync(a):
     return float(np.asarray(a).ravel()[0])
 
 
+# ---- comp-major variant: [3,N] carries, spmv_t, cm crossings, cm apply ----
+from precond_tpu.ops.gridapply import precondition_grid_cm
+from precond_tpu.ops.pallas.packed_symv import PackedInverse, pack_sym96_cm
+
+if isinstance(inv96, PackedInverse):
+    cfg_dense = SchwarzConfig(symv_kernel="dense")
+    dense96 = jax.jit(
+        lambda dg, dr, o: prepare_grid(dg, dr, goffsets, k_gm, cfg_dense, None, o)
+    )(dgr, drr, jnp.asarray(o2s)).astype(jnp.float32)
+else:
+    dense96 = inv96
+inv_cm = jax.jit(lambda d: pack_sym96_cm(d, block_b=cfg.packed_symv_block_b))(dense96)
+
+
+def loop_cm():
+    def k_iterations(op, state, bt):
+        def body(_, carry):
+            x, r, p, z, rz = carry
+            q = gridstencil.spmv_t(op, p)
+            alpha = rz / jnp.sum(p * q)
+            x = x + alpha * p
+            r = r - alpha * q
+            rs = gm.grid_to_morton_cm(r, k_gm)
+            z = gm.morton_to_grid_cm(precondition_grid_cm(state, rs, cfg), k_gm)
+            rz_new = jnp.sum(r * z)
+            p = z + (rz_new / rz) * p
+            return (x, r, p, z, rz_new)
+
+        z0 = gm.morton_to_grid_cm(
+            precondition_grid_cm(state, gm.grid_to_morton_cm(bt, k_gm), cfg), k_gm
+        )
+        init = (jnp.zeros_like(bt), bt, z0, z0, jnp.sum(bt * z0))
+        return jax.lax.fori_loop(0, K, body, init)[0][:1, 0]
+
+    return jax.jit(k_iterations)
+
+
 print(f"grid={grid} n={n} K={K} packed={type(inv96).__name__ == 'PackedInverse'}",
       flush=True)
 ref = None
@@ -118,3 +155,15 @@ for name, pre_op in VARIANTS.items():
     ms = best / K * 1e3
     tag = "" if v == ref else f"  VALUE DRIFT {v} vs {ref}"
     print(f"{name:12s} {ms:8.3f} ms/iter{tag}", flush=True)
+
+fn = loop_cm()
+bt = jnp.transpose(b)
+v = sync(fn(ssys, inv_cm, bt))
+best = float("inf")
+for _ in range(3):
+    t0 = time.perf_counter()
+    sync(fn(ssys, inv_cm, bt))
+    best = min(best, time.perf_counter() - t0)
+ms = best / K * 1e3
+tag = "" if abs(v - ref) < 1e-6 * max(abs(ref), 1e-9) else f"  value {v} vs {ref}"
+print(f"{'comp-major':12s} {ms:8.3f} ms/iter{tag}", flush=True)
