@@ -72,12 +72,15 @@ def run_config(config, grid):
         # "auto" engages the packed-symmetric Pallas symv (half the apply
         # HBM read) once the inverse table outgrows VMEM residency
         symv_kernel=os.environ.get("BENCH_SYMV", "auto"),
+        # comp-major [3,N] solve layout on the grid path ("auto": engages
+        # with the packed symv); BENCH_LAYOUT=rows|cm forces either
+        solve_layout=os.environ.get("BENCH_LAYOUT", "auto"),
     )
 
-    from precond_tpu.ops.pallas.packed_symv import PackedInverse
+    from precond_tpu.ops.pallas.packed_symv import PackedInverse, PackedInverseCM
 
     def inv_leaf(x):
-        return x.f if isinstance(x, PackedInverse) else x
+        return x.f if isinstance(x, (PackedInverse, PackedInverseCM)) else x
 
     # Light vertices + stiff springs: the stiffness-dominated, genuinely
     # ill-conditioned regime real cloth sims operate in (this is where the
@@ -409,7 +412,22 @@ def run_config(config, grid):
     # Whole solve lives in Morton-sorted space (b permuted once above):
     # drops the two N-row permute gathers per iteration that the
     # original-order precondition() pays, and makes SpMV gathers local.
-    if gridblocks is not None:
+    cm_solve = False
+    if gridblocks is not None and isinstance(inv96, PackedInverseCM):
+        # comp-major solve: [3,N] carries, spmv_t, MXU-oriented patch
+        # crossings, comp-plane packed apply. Measured 8.53 -> 5.07 ms/iter
+        # at 1M on v5e (scripts/probe_crossing_fix.py): the row-major
+        # crossings' composed carry-relayout penalty is the difference.
+        from precond_tpu.ops.gridapply import precondition_grid_cm
+
+        cm_solve = True
+
+        def pre_op(st, r):
+            rs = gm.grid_to_morton_cm(r, gmk)
+            return gm.morton_to_grid_cm(precondition_grid_cm(st, rs, cfg), gmk)
+
+        spmv_op, b_iter, state = ssys, jnp.transpose(b), inv96
+    elif gridblocks is not None:
         # grid-order solve; grid<->Morton crossings picked by size (selector
         # matmul <= 512 grids, streaming transpose above); static-transfer
         # apply (state is just inv96)
@@ -454,8 +472,19 @@ def run_config(config, grid):
 
         spmv_op = (spmv_op, stencils)
 
-        def spmv_fn(op, v):
-            return gridstencil.spmv(op[0], v) + stencil_contact_spmv(op[1], v)
+        if cm_solve:
+            # comp-major carries; the rank-1 contact term stays row-major
+            # (small active set) behind a transpose pair
+            def spmv_fn(op, v):
+                return gridstencil.spmv_t(op[0], v) + jnp.transpose(
+                    stencil_contact_spmv(op[1], jnp.transpose(v))
+                )
+        else:
+
+            def spmv_fn(op, v):
+                return gridstencil.spmv(op[0], v) + stencil_contact_spmv(op[1], v)
+    elif cm_solve:
+        spmv_fn = gridstencil.spmv_t
     elif ssys is not None and os.environ.get("BENCH_SPMV_PALLAS", "0") == "1":
         # fused one-pass Pallas stencil SpMV (A/B hook vs the einsum form)
         from precond_tpu.ops.pallas.stencil_spmv import spmv_system
@@ -509,7 +538,7 @@ def run_config(config, grid):
     nnz_spmv = int(9 * (n + int(np.asarray(ell.mask).sum())))
     if contact is not None:
         nnz_spmv += int(9 * int(np.asarray(contact.mask).sum()))
-    if isinstance(inv96, PackedInverse):
+    if isinstance(inv96, (PackedInverse, PackedInverseCM)):
         # packed-symmetric storage: 4704 stored floats per block (the
         # reference's packed count) — the honest per-iteration data volume
         nblocks = int(inv96.nb)
@@ -529,10 +558,18 @@ def run_config(config, grid):
     # preconditioner, not the matrix representation.
     jac_op = spmv_op if (ssys is not None or bsys is not None) else ell
 
-    def jacobi_solve(e, dinv, bb):
-        return pcg(lambda v: spmv_fn(e, v),
-                   lambda r: jnp.einsum("nij,nj->ni", dinv, r), bb,
-                   tol=1e-4, max_iters=20000, check_every=8)
+    if cm_solve:
+        # Jacobi rides the same comp-major carries (same SpMV, transpose-
+        # free 3x3 apply) — the baseline gets the layout win too
+        def jacobi_solve(e, dinv, bb):
+            return pcg(lambda v: spmv_fn(e, v),
+                       lambda r: jnp.einsum("nij,jn->in", dinv, r), bb,
+                       tol=1e-4, max_iters=20000, check_every=8)
+    else:
+        def jacobi_solve(e, dinv, bb):
+            return pcg(lambda v: spmv_fn(e, v),
+                       lambda r: jnp.einsum("nij,nj->ni", dinv, r), bb,
+                       tol=1e-4, max_iters=20000, check_every=8)
 
     # block-Jacobi of the FULL system (incl. contact diagonal fill-in)
     jdiag = ell.diag if contact is None else ell.diag + contact.diag
@@ -566,7 +603,8 @@ def run_config(config, grid):
     # solver happened to be measured during it (the ratio is the metric).
     s1, s2 = solve_jits(schwarz_solve)
     j1, j2 = solve_jits(jacobi_solve)
-    sargs, jargs = (spmv_op, state, b_iter), (jac_op, dinv, b)
+    sargs = (spmv_op, state, b_iter)
+    jargs = (jac_op, dinv, jnp.transpose(b) if cm_solve else b)
     fetch1 = lambda r: r.x[0, :1]  # noqa: E731
     fetch2 = lambda r: r[1].x[0, :1]  # noqa: E731
     rs, _ = timed_once(s1, sargs, fetch1)  # warm/compile

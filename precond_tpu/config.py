@@ -104,6 +104,24 @@ class SchwarzConfig:
             return True
         return self.num_blocks(num_verts) >= self.packed_symv_min_blocks
 
+    # Component-major solve layout for the static 2-D grid path: carries
+    # are [3,N] planes, SpMV is gridstencil.spmv_t, crossings are the
+    # MXU-oriented patch factorization (utils/gridmorton.grid_to_morton_cm)
+    # and the apply is ops/gridapply.precondition_grid_cm on a comp-major-
+    # packed inverse. Measured 8.53 -> 5.07 ms/iter at 1M on v5e
+    # (scripts/probe_crossing_fix.py): the row-major crossings' composed
+    # carry-relayout penalty is the whole difference.
+    #   "auto" — comp-major iff the packed symv is in use (>= 4096 blocks)
+    #   "cm" / "rows" — force
+    solve_layout: str = "auto"
+
+    def use_cm(self, num_verts: int) -> bool:
+        if self.solve_layout == "rows":
+            return False
+        if self.solve_layout == "cm":
+            return True
+        return self.use_packed_symv(num_verts)
+
     # One-hot (broadcast-multiply-reduce) forms of the restriction and
     # prolongation transfer ops instead of the scatter/gather forms. The
     # scatter/gather forms are priced per ROW on TPU (~40/4.2 ns) and so
@@ -135,6 +153,7 @@ class SchwarzConfig:
         assert self.bank_size == 32, "bank_size is pinned to 32 (uint32 masks / 96x96 blocks)"
         assert self.closure_iters >= math.ceil(math.log2(self.bank_size))
         assert self.symv_kernel in ("auto", "dense", "packed"), self.symv_kernel
+        assert self.solve_layout in ("auto", "rows", "cm"), self.solve_layout
 
     # ---- static level geometry ------------------------------------------
 

@@ -565,31 +565,60 @@ class ClothSim:
                 # grid order with stencil SpMV (zero gathers); the apply
                 # crosses into sorted order via analytic transforms
                 from ..utils import gridmorton as gm
+                from ..ops.pallas.packed_symv import PackedInverseCM
 
-                _g2m, _m2g = gm.crossing_pair(gmk)
-                if grid_prep:
-                    pre_op = lambda r_: _m2g(  # noqa: E731
-                        precondition_grid(inv96, _g2m(r_, gmk), cfg), gmk
-                    )
-                else:
-                    pre_op = lambda r_: _m2g(  # noqa: E731
-                        precondition_sorted(state, _g2m(r_, gmk), cfg), gmk
-                    )
-                if st_sys is not None:
-                    from ..ops.contact import stencil_contact_spmv
+                if grid_prep and isinstance(inv96, PackedInverseCM):
+                    # comp-major solve: [3,N] carries, transpose-free SpMV,
+                    # MXU-oriented crossings (ops/gridapply docstring)
+                    from ..ops.gridapply import precondition_grid_cm
 
-                    spmv_op = lambda p_: (  # noqa: E731
-                        gridstencil.spmv(ssys, p_)
-                        + stencil_contact_spmv(st_sys, p_)
+                    pre_op = lambda r_: gm.morton_to_grid_cm(  # noqa: E731
+                        precondition_grid_cm(
+                            inv96, gm.grid_to_morton_cm(r_, gmk), cfg
+                        ),
+                        gmk,
                     )
+                    if st_sys is not None:
+                        from ..ops.contact import stencil_contact_spmv
+
+                        spmv_op = lambda p_: (  # noqa: E731
+                            gridstencil.spmv_t(ssys, p_)
+                            + jnp.transpose(
+                                stencil_contact_spmv(st_sys, jnp.transpose(p_))
+                            )
+                        )
+                    else:
+                        spmv_op = lambda p_: gridstencil.spmv_t(ssys, p_)  # noqa: E731
+                    res = pcg(
+                        spmv_op, pre_op, jnp.transpose(rhs),
+                        tol=tol, max_iters=max_iters,
+                    )
+                    x_unsorted = jnp.transpose(res.x)
                 else:
-                    spmv_op = lambda p_: gridstencil.spmv(ssys, p_)  # noqa: E731
-                res = pcg(
-                    spmv_op,
-                    pre_op,
-                    rhs, tol=tol, max_iters=max_iters,
-                )
-                x_unsorted = res.x
+                    _g2m, _m2g = gm.crossing_pair(gmk)
+                    if grid_prep:
+                        pre_op = lambda r_: _m2g(  # noqa: E731
+                            precondition_grid(inv96, _g2m(r_, gmk), cfg), gmk
+                        )
+                    else:
+                        pre_op = lambda r_: _m2g(  # noqa: E731
+                            precondition_sorted(state, _g2m(r_, gmk), cfg), gmk
+                        )
+                    if st_sys is not None:
+                        from ..ops.contact import stencil_contact_spmv
+
+                        spmv_op = lambda p_: (  # noqa: E731
+                            gridstencil.spmv(ssys, p_)
+                            + stencil_contact_spmv(st_sys, p_)
+                        )
+                    else:
+                        spmv_op = lambda p_: gridstencil.spmv(ssys, p_)  # noqa: E731
+                    res = pcg(
+                        spmv_op,
+                        pre_op,
+                        rhs, tol=tol, max_iters=max_iters,
+                    )
+                    x_unsorted = res.x
             else:
                 # Solve in Morton-sorted space: permute rhs once, x back
                 # once (drops two N-row gathers per PCG iteration).

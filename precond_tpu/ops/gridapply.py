@@ -176,9 +176,9 @@ def precondition_grid_cm(
     Reference semantics: BuildResidualHierarchy cpp:1548-1598, SchwarzLocalXSym
     cpp:1600-1696, CollectFinalZ cpp:1698-1719.
     """
-    from .pallas.packed_symv import PackedInverse, packed_symv_cm
+    from .pallas.packed_symv import PackedInverseCM, packed_symv_cm
 
-    assert isinstance(inv_cm, PackedInverse), "cm path needs pack_sym96_cm"
+    assert isinstance(inv_cm, PackedInverseCM), "cm path needs pack_sym96_cm"
     n = rs_cm.shape[1]
     offs = cfg.level_offsets(n)
     levels = cfg.num_levels(n)
@@ -235,8 +235,11 @@ def precondition_grid(
         )
         parts.append(cur)
     mr = jnp.concatenate(parts, axis=0)              # [Btot, 96]
-    from .pallas.packed_symv import PackedInverse, packed_symv
+    from .pallas.packed_symv import PackedInverse, PackedInverseCM, packed_symv
 
+    assert not isinstance(inv96, PackedInverseCM), (
+        "CM-packed inverse passed to the row-major apply; use precondition_grid_cm"
+    )
     if isinstance(inv96, PackedInverse):
         # packed-symmetric storage (4704 floats/block, cpp:165's count):
         # halves the dominant HBM read of the iteration at large B

@@ -66,6 +66,18 @@ class PackedInverse(NamedTuple):
     nb: jnp.ndarray  # i32[] true (unpadded) block count — static not needed
 
 
+class PackedInverseCM(NamedTuple):
+    """PackedInverse with the bank DOF convention permuted to component-
+    major (DOF c*32+l instead of l*3+c). A distinct type on purpose:
+    applying a CM-packed inverse through the row-major apply (or vice
+    versa) would be silently wrong, so the two conventions cannot be
+    mixed up by isinstance dispatch."""
+
+    f: jnp.ndarray   # f32[48, 96, Bp]
+    dg: jnp.ndarray  # f32[96, Bp]
+    nb: jnp.ndarray  # i32[]
+
+
 def pack_sym96(inv96: jnp.ndarray, block_b: int = 256) -> PackedInverse:
     """[B,96,96] symmetric -> PackedInverse (B padded up to block_b)."""
     b = inv96.shape[0]
@@ -182,18 +194,18 @@ def _cm_perm():
     return _CM_PERM
 
 
-def pack_sym96_cm(inv96: jnp.ndarray, block_b: int = 256) -> PackedInverse:
+def pack_sym96_cm(inv96: jnp.ndarray, block_b: int = 256) -> PackedInverseCM:
     """pack_sym96 with the bank DOF convention permuted to component-major.
 
     The comp-major solve path (ops/gridapply.precondition_grid_cm) keeps
     every vector as 3 component planes; permuting the inverse rows/cols
     once at prepare time lets the apply skip all payload interleaves."""
     p = jnp.asarray(_cm_perm())
-    return pack_sym96(inv96[:, p][:, :, p], block_b=block_b)
+    return PackedInverseCM(*pack_sym96(inv96[:, p][:, :, p], block_b=block_b))
 
 
 def packed_symv_cm(
-    packed: PackedInverse,
+    packed: PackedInverseCM,
     rs3: jnp.ndarray,  # f32[3, B, 32] comp-plane bank vectors
     block_b: int = 256,
     interpret: bool | None = None,
@@ -204,6 +216,7 @@ def packed_symv_cm(
     convention that is just the three [32, B] planes stacked along
     sublanes — one (B,32)->(32,B) transpose per direction (32-granular,
     ~25 us at 1M verts) instead of the [B,96] interleave."""
+    assert isinstance(packed, PackedInverseCM), "cm apply needs pack_sym96_cm"
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b = rs3.shape[1]

@@ -43,7 +43,7 @@ def compute_sort_maps(positions: jnp.ndarray) -> SortMaps:
     return SortMaps(perm, morton.inverse_permutation(perm))
 
 
-def _factorize(h96: jnp.ndarray, cfg: SchwarzConfig, n: int):
+def _factorize(h96: jnp.ndarray, cfg: SchwarzConfig, n: int, allow_cm: bool = False):
     """Batched 96x96 SPD factorization tail shared by the static prepares.
 
     Returns dense [B,96,96] inverses (inverse_dtype), or — when
@@ -61,7 +61,7 @@ def _factorize(h96: jnp.ndarray, cfg: SchwarzConfig, n: int):
     else:
         inv96 = invert_spd_blocks_panel(h96)
     if cfg.use_packed_symv(n):
-        from .ops.pallas.packed_symv import pack_sym96
+        from .ops.pallas.packed_symv import pack_sym96, pack_sym96_cm
 
         # The barrier pins the inverse before the packing transpose: fused
         # into the full prepare program (assembly + chunked panel inverse +
@@ -70,6 +70,10 @@ def _factorize(h96: jnp.ndarray, cfg: SchwarzConfig, n: int):
         # clean, only the triple fuses wrong. Isolating the pack restores
         # the staged (verified-finite) behavior at ~3 ms cost.
         inv96 = jax.lax.optimization_barrier(inv96)
+        if allow_cm and cfg.use_cm(n):
+            # component-major DOF convention for the comp-major solve
+            # path (ops/gridapply.precondition_grid_cm)
+            return pack_sym96_cm(inv96, block_b=cfg.packed_symv_block_b)
         return pack_sym96(inv96, block_b=cfg.packed_symv_block_b)
     return inv96.astype(jnp.dtype(cfg.inverse_dtype))
 
@@ -217,7 +221,11 @@ def prepare_grid(
         )
         terms = collision_terms(mapped)
     h96 = assemble_grid_hessian(diag_rows, dirs_rows, offsets, k, cfg, terms)
-    return _factorize(h96, cfg, diag_rows.shape[0])
+    # allow_cm: the 2-D grid path has comp-major crossings (utils/gridmorton
+    # grid_to_morton_cm; they need >= 32x32 grids), so cfg.use_cm may select
+    # the comp-major-packed inverse here; the box path keeps row-major until
+    # boxmorton grows a comp-major crossing.
+    return _factorize(h96, cfg, diag_rows.shape[0], allow_cm=k >= 5)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

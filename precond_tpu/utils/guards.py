@@ -29,9 +29,9 @@ def check_finite(name: str, *arrays) -> List[str]:
 
 def validate_apply_state(state: ApplyState) -> List[str]:
     """Sanity-check a prepared preconditioner state."""
-    from ..ops.pallas.packed_symv import PackedInverse
+    from ..ops.pallas.packed_symv import PackedInverse, PackedInverseCM
 
-    if isinstance(state.inv96, PackedInverse):
+    if isinstance(state.inv96, (PackedInverse, PackedInverseCM)):
         # packed storage keeps one copy of each off-diagonal element, so
         # the applied operator is symmetric by construction — only
         # finiteness can go wrong
