@@ -199,9 +199,19 @@ def pack_sym96_cm(inv96: jnp.ndarray, block_b: int = 256) -> PackedInverseCM:
 
     The comp-major solve path (ops/gridapply.precondition_grid_cm) keeps
     every vector as 3 component planes; permuting the inverse rows/cols
-    once at prepare time lets the apply skip all payload interleaves."""
-    p = jnp.asarray(_cm_perm())
-    return PackedInverseCM(*pack_sym96(inv96[:, p][:, :, p], block_b=block_b))
+    once at prepare time lets the apply skip all payload interleaves.
+
+    The permutation IS a reshape-transpose (96 = 32 lanes x 3 comps on
+    both axes), so the 1.2 GB-at-1M table is re-laid-out by pure
+    transposes — an index-gather form would price per element (~7.5 ns)
+    and add seconds to prepare."""
+    b = inv96.shape[0]
+    cm = (
+        inv96.reshape(b, 32, 3, 32, 3)
+        .transpose(0, 2, 1, 4, 3)
+        .reshape(b, 96, 96)
+    )
+    return PackedInverseCM(*pack_sym96(cm, block_b=block_b))
 
 
 def packed_symv_cm(

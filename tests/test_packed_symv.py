@@ -67,11 +67,17 @@ def test_packed_wiring_end_to_end_grid():
     k = g.bit_length() - 1
     cfg_d = SchwarzConfig(symv_kernel="dense")
     cfg_p = dataclasses.replace(
-        cfg_d, symv_kernel="packed", packed_symv_block_b=128
+        cfg_d, symv_kernel="packed", packed_symv_block_b=128, solve_layout="rows"
     )
     inv_d = prepare_grid(dgr, drr, offs, k, cfg_d)
     inv_p = prepare_grid(dgr, drr, offs, k, cfg_p)
     assert type(inv_p).__name__ == "PackedInverse"
+    # default (auto) layout at a >=32x32 grid with packed symv selects the
+    # comp-major convention instead (the comp-major solve path)
+    inv_cm = prepare_grid(dgr, drr, offs, k, dataclasses.replace(
+        cfg_d, symv_kernel="packed", packed_symv_block_b=128
+    ))
+    assert type(inv_cm).__name__ == "PackedInverseCM"
     r = jnp.asarray(
         np.random.default_rng(7).standard_normal((mesh.num_verts, 3)).astype(np.float32)
     )
