@@ -77,10 +77,14 @@ def run_config(config, grid):
         solve_layout=os.environ.get("BENCH_LAYOUT", "auto"),
     )
 
-    from precond_tpu.ops.pallas.packed_symv import PackedInverse, PackedInverseCM
+    from precond_tpu.ops.pallas.packed_symv import (
+        DenseInverseCM, PackedInverse, PackedInverseCM,
+    )
 
     def inv_leaf(x):
-        return x.f if isinstance(x, (PackedInverse, PackedInverseCM)) else x
+        if isinstance(x, (PackedInverse, PackedInverseCM)):
+            return x.f
+        return x.m if isinstance(x, DenseInverseCM) else x
 
     # Light vertices + stiff springs: the stiffness-dominated, genuinely
     # ill-conditioned regime real cloth sims operate in (this is where the
@@ -413,7 +417,7 @@ def run_config(config, grid):
     # drops the two N-row permute gathers per iteration that the
     # original-order precondition() pays, and makes SpMV gathers local.
     cm_solve = False
-    if gridblocks is not None and isinstance(inv96, PackedInverseCM):
+    if gridblocks is not None and isinstance(inv96, (PackedInverseCM, DenseInverseCM)):
         # comp-major solve: [3,N] carries, spmv_t, MXU-oriented patch
         # crossings, comp-plane packed apply. Measured 8.53 -> 5.07 ms/iter
         # at 1M on v5e (scripts/probe_crossing_fix.py): the row-major
@@ -543,6 +547,9 @@ def run_config(config, grid):
         # reference's packed count) — the honest per-iteration data volume
         nblocks = int(inv96.nb)
         nnz_apply = int(nblocks * 4704)
+    elif isinstance(inv96, DenseInverseCM):
+        nblocks = inv96.m.shape[0]
+        nnz_apply = int(nblocks * 96 * 96)
     else:
         nblocks = inv96.shape[0]
         nnz_apply = int(nblocks * 96 * 96)

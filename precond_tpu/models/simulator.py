@@ -565,9 +565,9 @@ class ClothSim:
                 # grid order with stencil SpMV (zero gathers); the apply
                 # crosses into sorted order via analytic transforms
                 from ..utils import gridmorton as gm
-                from ..ops.pallas.packed_symv import PackedInverseCM
+                from ..ops.pallas.packed_symv import DenseInverseCM, PackedInverseCM
 
-                if grid_prep and isinstance(inv96, PackedInverseCM):
+                if grid_prep and isinstance(inv96, (PackedInverseCM, DenseInverseCM)):
                     # comp-major solve: [3,N] carries, transpose-free SpMV,
                     # MXU-oriented crossings (ops/gridapply docstring)
                     from ..ops.gridapply import precondition_grid_cm

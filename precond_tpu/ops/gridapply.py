@@ -176,9 +176,16 @@ def precondition_grid_cm(
     Reference semantics: BuildResidualHierarchy cpp:1548-1598, SchwarzLocalXSym
     cpp:1600-1696, CollectFinalZ cpp:1698-1719.
     """
-    from .pallas.packed_symv import PackedInverseCM, packed_symv_cm
+    from .pallas.packed_symv import (
+        DenseInverseCM,
+        PackedInverseCM,
+        dense_symv_cm,
+        packed_symv_cm,
+    )
 
-    assert isinstance(inv_cm, PackedInverseCM), "cm path needs pack_sym96_cm"
+    assert isinstance(inv_cm, (PackedInverseCM, DenseInverseCM)), (
+        "cm path needs pack_sym96_cm / dense_cm"
+    )
     n = rs_cm.shape[1]
     offs = cfg.level_offsets(n)
     levels = cfg.num_levels(n)
@@ -195,7 +202,10 @@ def precondition_grid_cm(
         )
         parts.append(cur)
     mr = jnp.concatenate(parts, axis=1)                  # (3, Btot, 32)
-    z3 = packed_symv_cm(inv_cm, mr, block_b=cfg.packed_symv_block_b)
+    if isinstance(inv_cm, DenseInverseCM):
+        z3 = dense_symv_cm(inv_cm, mr)
+    else:
+        z3 = packed_symv_cm(inv_cm, mr, block_b=cfg.packed_symv_block_b)
     # ---- prolong + additive collect ----
     top = min(levels, cfg.max_applied_levels)
     pz = z3[:, offs[top - 1] // BANK : offs[top] // BANK]

@@ -78,6 +78,16 @@ class PackedInverseCM(NamedTuple):
     nb: jnp.ndarray  # i32[]
 
 
+class DenseInverseCM(NamedTuple):
+    """Dense [B,3,32,3,32] inverse in the comp-major convention — the
+    small-scale twin of PackedInverseCM: below the packed-symv threshold
+    the dense table stays VMEM-resident across PCG iterations (Pallas
+    would re-stream it from HBM every call), so the comp-major solve
+    keeps the dense einsum there."""
+
+    m: jnp.ndarray   # [B, 3, 32, 3, 32] (inverse_dtype)
+
+
 def pack_sym96(inv96: jnp.ndarray, block_b: int = 256) -> PackedInverse:
     """[B,96,96] symmetric -> PackedInverse (B padded up to block_b)."""
     b = inv96.shape[0]
@@ -212,6 +222,23 @@ def pack_sym96_cm(inv96: jnp.ndarray, block_b: int = 256) -> PackedInverseCM:
         .reshape(b, 96, 96)
     )
     return PackedInverseCM(*pack_sym96(cm, block_b=block_b))
+
+
+def dense_cm(inv96: jnp.ndarray) -> DenseInverseCM:
+    """[B,96,96] lane-major dense -> DenseInverseCM ([B,3,32,3,32])."""
+    b = inv96.shape[0]
+    return DenseInverseCM(
+        m=inv96.reshape(b, 32, 3, 32, 3).transpose(0, 2, 1, 4, 3)
+    )
+
+
+def dense_symv_cm(inv: DenseInverseCM, rs3: jnp.ndarray) -> jnp.ndarray:
+    """[3,B,32] -> [3,B,32] dense comp-plane symv (einsum, VMEM-resident
+    table below the packed threshold)."""
+    return jnp.einsum(
+        "bcldm,dbm->cbl", inv.m, rs3.astype(inv.m.dtype),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def packed_symv_cm(

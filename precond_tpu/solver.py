@@ -75,6 +75,12 @@ def _factorize(h96: jnp.ndarray, cfg: SchwarzConfig, n: int, allow_cm: bool = Fa
             # path (ops/gridapply.precondition_grid_cm)
             return pack_sym96_cm(inv96, block_b=cfg.packed_symv_block_b)
         return pack_sym96(inv96, block_b=cfg.packed_symv_block_b)
+    if allow_cm and cfg.use_cm(n):
+        # forced comp-major below the packed threshold: dense comp-plane
+        # table (stays VMEM-resident where Pallas would re-stream HBM)
+        from .ops.pallas.packed_symv import dense_cm
+
+        return dense_cm(inv96.astype(jnp.dtype(cfg.inverse_dtype)))
     return inv96.astype(jnp.dtype(cfg.inverse_dtype))
 
 

@@ -29,8 +29,14 @@ def check_finite(name: str, *arrays) -> List[str]:
 
 def validate_apply_state(state: ApplyState) -> List[str]:
     """Sanity-check a prepared preconditioner state."""
-    from ..ops.pallas.packed_symv import PackedInverse, PackedInverseCM
+    from ..ops.pallas.packed_symv import (
+        DenseInverseCM, PackedInverse, PackedInverseCM,
+    )
 
+    if isinstance(state.inv96, DenseInverseCM):
+        return check_finite("inv96.cm", state.inv96.m) + (
+            ["hierarchy overflow"] if bool(state.overflow) else []
+        )
     if isinstance(state.inv96, (PackedInverse, PackedInverseCM)):
         # packed storage keeps one copy of each off-diagonal element, so
         # the applied operator is symmetric by construction — only

@@ -128,3 +128,44 @@ def test_clothsim_cm_matches_rows():
             assert float(sim.last_solve.rel_residual) <= 1e-4
         out[name] = np.asarray(sim.state.positions)
     assert np.abs(out["cm"] - out["rows"]).max() < 1e-5
+
+
+def test_dense_cm_apply_matches():
+    """Below the packed threshold the forced-cm layout uses the dense
+    comp-plane einsum (DenseInverseCM): must match the row-major dense
+    apply to accumulation tolerance."""
+    from precond_tpu.ops.pallas.packed_symv import dense_cm
+
+    mesh, _ = _system()
+    dgr, drr, goffsets = cloth.assemble_system_grid(mesh)
+    cfg_d = SchwarzConfig(symv_kernel="dense")
+    inv96 = jax.jit(
+        lambda dg, dr, o: prepare_grid(dg, dr, goffsets, K, cfg_d, None, o)
+    )(dgr, drr, None).astype(jnp.float32)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((mesh.num_verts, 3)).astype(np.float32))
+    z_ref = precondition_grid(inv96, gm.grid_to_morton(x, K), cfg_d)
+    z_cm = precondition_grid_cm(
+        dense_cm(inv96), gm.grid_to_morton_cm(jnp.transpose(x), K), cfg_d
+    )
+    ref, got = np.asarray(z_ref), np.asarray(z_cm).T
+    assert np.abs(got - ref).max() <= 1e-4 * np.abs(ref).max()
+
+
+def test_clothsim_cm_dense_matches_rows():
+    """Forced cm layout with the dense symv (the 65k configuration)."""
+    from precond_tpu.models.simulator import ClothSim
+
+    mesh = cloth.make_grid(
+        GRID, GRID, mass=0.05, dt=1.0 / 60.0, k_struct=3e3, k_shear=3e3, k_bend=30.0
+    )
+    pinned = np.arange(GRID)
+    out = {}
+    for layout in ("cm", "rows"):
+        cfg = SchwarzConfig(symv_kernel="dense", solve_layout=layout)
+        sim = ClothSim(mesh, cfg, pinned=pinned)
+        for _ in range(2):
+            st = sim.step()
+            assert float(sim.last_solve.rel_residual) <= 1e-4
+        out[layout] = np.asarray(sim.state.positions)
+    assert np.abs(out["cm"] - out["rows"]).max() < 1e-5
