@@ -548,7 +548,7 @@ def run_config(config, grid):
         nblocks = int(inv96.nb)
         nnz_apply = int(nblocks * 4704)
     elif isinstance(inv96, DenseInverseCM):
-        nblocks = inv96.m.shape[0]
+        nblocks = inv96.m.shape[-1]
         nnz_apply = int(nblocks * 96 * 96)
     else:
         nblocks = inv96.shape[0]

@@ -79,13 +79,17 @@ class PackedInverseCM(NamedTuple):
 
 
 class DenseInverseCM(NamedTuple):
-    """Dense [B,3,32,3,32] inverse in the comp-major convention — the
+    """Dense inverse in the comp-major convention, BATCH-MINOR — the
     small-scale twin of PackedInverseCM: below the packed-symv threshold
     the dense table stays VMEM-resident across PCG iterations (Pallas
     would re-stream it from HBM every call), so the comp-major solve
-    keeps the dense einsum there."""
+    keeps the dense einsum there. Batch-minor because a batch-major
+    [B,...] table is re-laid-out INSIDE the PCG while_loop every
+    iteration (the same measured disease as [N,3,3] stencil storage,
+    ops/gridstencil.py module doc): measured 0.21 ms/iter in a fori
+    chain but 2.2 ms/iter in the while-loop solve at 65k."""
 
-    m: jnp.ndarray   # [B, 3, 32, 3, 32] (inverse_dtype)
+    m: jnp.ndarray   # [3, 32, 3, 32, B] (inverse_dtype)
 
 
 def pack_sym96(inv96: jnp.ndarray, block_b: int = 256) -> PackedInverse:
@@ -225,18 +229,18 @@ def pack_sym96_cm(inv96: jnp.ndarray, block_b: int = 256) -> PackedInverseCM:
 
 
 def dense_cm(inv96: jnp.ndarray) -> DenseInverseCM:
-    """[B,96,96] lane-major dense -> DenseInverseCM ([B,3,32,3,32])."""
+    """[B,96,96] lane-major dense -> DenseInverseCM ([3,32,3,32,B])."""
     b = inv96.shape[0]
     return DenseInverseCM(
-        m=inv96.reshape(b, 32, 3, 32, 3).transpose(0, 2, 1, 4, 3)
+        m=inv96.reshape(b, 32, 3, 32, 3).transpose(2, 1, 4, 3, 0)
     )
 
 
 def dense_symv_cm(inv: DenseInverseCM, rs3: jnp.ndarray) -> jnp.ndarray:
     """[3,B,32] -> [3,B,32] dense comp-plane symv (einsum, VMEM-resident
-    table below the packed threshold)."""
+    batch-minor table below the packed threshold)."""
     return jnp.einsum(
-        "bcldm,dbm->cbl", inv.m, rs3.astype(inv.m.dtype),
+        "cldmb,dbm->cbl", inv.m, rs3.astype(inv.m.dtype),
         preferred_element_type=jnp.float32,
     )
 
