@@ -107,20 +107,21 @@ class SchwarzConfig:
     # Component-major solve layout for the static 2-D grid path: carries
     # are [3,N] planes, SpMV is gridstencil.spmv_t, crossings are the
     # MXU-oriented patch factorization (utils/gridmorton.grid_to_morton_cm)
-    # and the apply is ops/gridapply.precondition_grid_cm on a comp-major-
-    # packed inverse. Measured 8.53 -> 5.07 ms/iter at 1M on v5e
-    # (scripts/probe_crossing_fix.py): the row-major crossings' composed
-    # carry-relayout penalty is the whole difference.
-    #   "auto" — comp-major iff the packed symv is in use (>= 4096 blocks)
+    # and the apply is ops/gridapply.precondition_grid_cm on a comp-major
+    # inverse — packed (Pallas symv) above packed_symv_min_blocks, dense
+    # batch-minor einsum below. Measured on v5e: 8.53 -> 5.07 ms/iter at
+    # 1M, 0.435 -> 0.194 ms/iter at 65k (scripts/probe_crossing_fix.py,
+    # BENCH_LAYOUT A/B): the row-major crossings' composed carry-relayout
+    # penalty is the whole difference.
+    #   "auto" — comp-major wherever the path supports it (2-D grid
+    #            prepares, >= 32x32; the GSPMD/box/general paths pin rows)
     #   "cm" / "rows" — force
     solve_layout: str = "auto"
 
     def use_cm(self, num_verts: int) -> bool:
         if self.solve_layout == "rows":
             return False
-        if self.solve_layout == "cm":
-            return True
-        return self.use_packed_symv(num_verts)
+        return True
 
     # One-hot (broadcast-multiply-reduce) forms of the restriction and
     # prolongation transfer ops instead of the scatter/gather forms. The

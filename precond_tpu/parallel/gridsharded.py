@@ -41,10 +41,13 @@ def grid_solve_step(
 ) -> PcgResult:
     """prepare_grid + grid-order PCG, pure function of device arrays."""
     # GSPMD cannot partition a pallas_call: the packed-symv storage is a
-    # single-chip / shard_map feature, so this path pins dense inverses
+    # single-chip / shard_map feature, so this path pins dense inverses.
+    # Row-major layout pinned too: under row-sharding every grid<->Morton
+    # crossing is an all-to-all either way, and the comp-major form has
+    # no multi-chip measurement yet (docs/ROADMAP.md "next perf levers").
     import dataclasses
 
-    cfg = dataclasses.replace(cfg, symv_kernel="dense")
+    cfg = dataclasses.replace(cfg, symv_kernel="dense", solve_layout="rows")
     inv96 = prepare_grid(diag_rows, dirs_rows, offsets, k, cfg)
 
     def pre_op(r):
@@ -77,7 +80,9 @@ def grid_contact_solve_step(
 
     from ..ops.contact import contact_spmv
 
-    cfg = dataclasses.replace(cfg, symv_kernel="dense")  # see grid_solve_step
+    cfg = dataclasses.replace(
+        cfg, symv_kernel="dense", solve_layout="rows"
+    )  # see grid_solve_step
     inv96 = prepare_grid(diag_rows, dirs_rows, offsets, k, cfg, stencils, o2s)
 
     def pre_op(r):

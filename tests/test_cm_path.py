@@ -53,7 +53,7 @@ def test_precondition_grid_cm_matches_row_major():
     mesh, _ = _system()
     dgr, drr, goffsets = cloth.assemble_system_grid(mesh)
     s2o, o2s = gm.sort_maps(K)
-    cfg_d = SchwarzConfig(symv_kernel="dense")
+    cfg_d = SchwarzConfig(symv_kernel="dense", solve_layout="rows")
     inv96 = jax.jit(
         lambda dg, dr, o: prepare_grid(dg, dr, goffsets, K, cfg_d, None, o)
     )(dgr, drr, jnp.asarray(o2s)).astype(jnp.float32)
@@ -79,7 +79,7 @@ def test_cm_pcg_converges_identically():
     mesh, ssys = _system()
     dgr, drr, goffsets = cloth.assemble_system_grid(mesh)
     s2o, o2s = gm.sort_maps(K)
-    cfg_d = SchwarzConfig(symv_kernel="dense")
+    cfg_d = SchwarzConfig(symv_kernel="dense", solve_layout="rows")
     inv96 = jax.jit(
         lambda dg, dr, o: prepare_grid(dg, dr, goffsets, K, cfg_d, None, o)
     )(dgr, drr, jnp.asarray(o2s)).astype(jnp.float32)
@@ -138,7 +138,7 @@ def test_dense_cm_apply_matches():
 
     mesh, _ = _system()
     dgr, drr, goffsets = cloth.assemble_system_grid(mesh)
-    cfg_d = SchwarzConfig(symv_kernel="dense")
+    cfg_d = SchwarzConfig(symv_kernel="dense", solve_layout="rows")
     inv96 = jax.jit(
         lambda dg, dr, o: prepare_grid(dg, dr, goffsets, K, cfg_d, None, o)
     )(dgr, drr, None).astype(jnp.float32)

@@ -38,7 +38,7 @@ def _grid_state(k: int, cfg: SchwarzConfig):
 
 @pytest.mark.parametrize("k", [3, 5, 6])
 def test_general_hierarchy_is_arithmetic_on_grids(k):
-    cfg = SchwarzConfig()
+    cfg = SchwarzConfig(solve_layout="rows")
     mesh, state, _ = _grid_state(k, cfg)
     n = mesh.num_verts
     assert not bool(state.overflow)
@@ -64,7 +64,7 @@ def test_grid_assembly_matches_general(k):
     from precond_tpu.ops import hierarchy as hi
     from precond_tpu.ops.blockcsr import permute
 
-    cfg = SchwarzConfig()
+    cfg = SchwarzConfig(solve_layout="rows")
     grid = 1 << k
     mesh = cloth.make_grid(grid, grid, z_wave=0.02, mass=0.001, dt=1.0 / 60.0)
     n = mesh.num_verts
@@ -95,7 +95,7 @@ def test_grid_prepare_solves(k):
     from precond_tpu.parallel.pcg import pcg
     from precond_tpu.solver import prepare_grid
 
-    cfg = SchwarzConfig()
+    cfg = SchwarzConfig(solve_layout="rows")
     grid = 1 << k
     mesh = cloth.make_grid(grid, grid, z_wave=0.02, mass=0.001, dt=1.0 / 60.0)
     n = mesh.num_verts
@@ -127,7 +127,7 @@ def test_grid_prepare_solves(k):
 
 @pytest.mark.parametrize("k", [5, 6])
 def test_grid_apply_matches_general(k):
-    cfg = SchwarzConfig()
+    cfg = SchwarzConfig(solve_layout="rows")
     mesh, state, _ = _grid_state(k, cfg)
     n = mesh.num_verts
     rng = np.random.default_rng(1)
@@ -147,7 +147,7 @@ def test_grid_path_with_collisions_matches_general(k):
     from precond_tpu.ops.stencils import build_stencils
     from precond_tpu.solver import prepare_grid
 
-    cfg = SchwarzConfig()
+    cfg = SchwarzConfig(solve_layout="rows")
     grid = 1 << k
     mesh = cloth.make_grid(grid, grid, z_wave=0.02, mass=0.001, dt=1.0 / 60.0)
     n = mesh.num_verts

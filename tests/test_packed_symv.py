@@ -65,7 +65,7 @@ def test_packed_wiring_end_to_end_grid():
     mesh = cloth.make_grid(g, g, z_wave=0.02, mass=0.01)
     dgr, drr, offs = cloth.assemble_system_grid(mesh)
     k = g.bit_length() - 1
-    cfg_d = SchwarzConfig(symv_kernel="dense")
+    cfg_d = SchwarzConfig(symv_kernel="dense", solve_layout="rows")
     cfg_p = dataclasses.replace(
         cfg_d, symv_kernel="packed", packed_symv_block_b=128, solve_layout="rows"
     )
@@ -75,7 +75,7 @@ def test_packed_wiring_end_to_end_grid():
     # default (auto) layout at a >=32x32 grid with packed symv selects the
     # comp-major convention instead (the comp-major solve path)
     inv_cm = prepare_grid(dgr, drr, offs, k, dataclasses.replace(
-        cfg_d, symv_kernel="packed", packed_symv_block_b=128
+        cfg_d, symv_kernel="packed", packed_symv_block_b=128, solve_layout="auto"
     ))
     assert type(inv_cm).__name__ == "PackedInverseCM"
     r = jnp.asarray(
@@ -103,7 +103,7 @@ def test_packed_wiring_general_path_and_checkpoint(tmp_path):
 
     mesh = cloth.make_grid(16, 16, z_wave=0.02)
     ell = cloth.assemble_system(mesh)
-    cfg_d = SchwarzConfig(symv_kernel="dense")
+    cfg_d = SchwarzConfig(symv_kernel="dense", solve_layout="rows")
     cfg_p = dataclasses.replace(
         cfg_d, symv_kernel="packed", packed_symv_block_b=128, debug_checks=True
     )
