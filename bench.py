@@ -716,7 +716,10 @@ def main():
         # 30-80 ms dispatch floor, where the 65k config's ~47 ms solves
         # do not (cloth-256 swung 1.15-1.45 across sessions on identical
         # code; cloth-1024 reproduced 1.930/1.935 across two runs)
-        default = "collide:256,tet:32,general:256,cloth:256,cloth:1024"
+        # tet at 48^3 = 110k verts: big enough that the ~600 ms solves
+        # dwarf the dispatch floor (tet:32's 40 ms solves did not —
+        # dispatch_suspect + a degenerate 0.0 rep in the r4 record)
+        default = "collide:256,tet:48,general:256,cloth:256,cloth:1024"
         specs = []
         for part in os.environ.get("BENCH_CONFIGS", default).split(","):
             name, _, sz = part.strip().partition(":")
