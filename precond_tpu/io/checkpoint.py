@@ -67,6 +67,13 @@ def save_solver(path: str, pre: SchwarzPreconditioner, x: Optional[jnp.ndarray] 
         _flatten("maps.", pre.maps, arrays, dtypes)
     if pre.state is not None:
         _flatten("state.", pre.state, arrays, dtypes)
+        # record the CONCRETE inverse container type: PackedInverse and
+        # PackedInverseCM have identical field names but different DOF
+        # conventions — reconstructing the wrong one would silently apply
+        # the wrong preconditioner (ADVICE r4)
+        arrays["__inv_type__"] = np.frombuffer(
+            type(pre.state.inv96).__name__.encode(), dtype=np.uint8
+        ).copy()
     if x is not None:
         _flatten("x", x, arrays, dtypes)
     arrays["__dtypes__"] = np.frombuffer(
@@ -116,16 +123,37 @@ def load_solver(path: str, pre: SchwarzPreconditioner) -> Optional[jnp.ndarray]:
             sorted_to_orig=_restore(data, "maps.sorted_to_orig", dtypes),
             orig_to_sorted=_restore(data, "maps.orig_to_sorted", dtypes),
         )
-    if "state.inv96" in data or "state.inv96.f" in data:
+    if "state.inv96" in data or "state.inv96.f" in data or "state.inv96.m" in data:
+        from ..ops.pallas.packed_symv import (
+            DenseInverseCM, PackedInverse, PackedInverseCM,
+        )
+
+        by_name = {
+            t.__name__: t for t in (PackedInverse, PackedInverseCM, DenseInverseCM)
+        }
+        inv_type = None
+        if "__inv_type__" in data:
+            inv_type = bytes(data["__inv_type__"].tobytes()).decode()
         fields = {}
         for f in ApplyState._fields:
             if f == "inv96" and "state.inv96.f" in data:
-                # packed-symmetric inverse (saved as its nested fields)
-                from ..ops.pallas.packed_symv import PackedInverse
-
-                fields[f] = PackedInverse(
+                # packed-symmetric inverse (saved as its nested fields);
+                # dispatch on the RECORDED type — the row-major and
+                # comp-major packings share field names but not DOF
+                # conventions, so guessing would be silently wrong
+                cls = by_name.get(inv_type or "PackedInverse")
+                if cls is None or cls is DenseInverseCM:
+                    raise ValueError(
+                        f"checkpoint inv96 type {inv_type!r} does not match "
+                        "its saved packed fields"
+                    )
+                fields[f] = cls(
                     **{k: _restore(data, f"state.inv96.{k}", dtypes)
-                       for k in PackedInverse._fields}
+                       for k in cls._fields}
+                )
+            elif f == "inv96" and "state.inv96.m" in data:
+                fields[f] = DenseInverseCM(
+                    m=_restore(data, "state.inv96.m", dtypes)
                 )
             else:
                 fields[f] = _restore(data, f"state.{f}", dtypes)

@@ -124,7 +124,9 @@ def lower_inverse_blocks(w1s, lblk, mm):
     return wb
 
 
-def invert_spd_blocks_panel(h96: jnp.ndarray, chunk_threshold: int = 4096) -> jnp.ndarray:
+def invert_spd_blocks_panel(
+    h96: jnp.ndarray, chunk_threshold: int = 4096, repair: bool = True
+) -> jnp.ndarray:
     """[B,96,96] SPD -> symmetric PSD inverses, panel-32 blocked LDL^T.
 
     The TPU-native replacement for the reference's AVX2 in-place 96x96
@@ -183,8 +185,10 @@ def invert_spd_blocks_panel(h96: jnp.ndarray, chunk_threshold: int = 4096) -> jn
                 acc, _invert_panel_batch(blk), i * chunk, axis=0
             )
 
-        return _repair_nonfinite(jax.lax.fori_loop(0, nfull, step, out))
-    return _repair_nonfinite(_invert_panel_batch(h96))
+        out = jax.lax.fori_loop(0, nfull, step, out)
+        return _repair_nonfinite(out) if repair else out
+    out = _invert_panel_batch(h96)
+    return _repair_nonfinite(out) if repair else out
 
 
 def _repair_nonfinite(inv96: jnp.ndarray) -> jnp.ndarray:
@@ -196,6 +200,14 @@ def _repair_nonfinite(inv96: jnp.ndarray) -> jnp.ndarray:
     while_loop predicate goes False on the first NaN dot product and the
     solve "converges" instantly); an identity block merely weakens the
     preconditioner on those 32 nodes. One streaming pass over the batch.
+
+    Observability (ADVICE r4): repair runs only on PRODUCTION prepares.
+    Under debug_checks / PRECOND_DEBUG_CHECKS the solver passes
+    repair=False to invert_spd_blocks_panel, so a genuine assembly or
+    factorization bug reaches utils/guards.assert_healthy as non-finite
+    inv96 and raises loudly instead of being silently identity-filled.
+    (A device-side debug print was tried and rejected: the axon TPU
+    backend does not support host callbacks at all.)
     """
     ok = jnp.all(jnp.isfinite(inv96), axis=(1, 2), keepdims=True)
     eye = jnp.eye(96, dtype=inv96.dtype)

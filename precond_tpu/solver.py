@@ -52,6 +52,18 @@ def _factorize(h96: jnp.ndarray, cfg: SchwarzConfig, n: int, allow_cm: bool = Fa
     cpp:165,1349) that ops/gridapply.precondition_grid applies with the
     Pallas two-sided symv at half the HBM traffic.
     """
+    if cfg.solve_layout == "cm" and not allow_cm:
+        # trace-time diagnostic: a forced cm layout on a path that cannot
+        # honor it (box/general/GSPMD prepares, <32x32 grids) would
+        # otherwise silently downgrade to row-major (ADVICE r4)
+        import warnings
+
+        warnings.warn(
+            "solve_layout='cm' was forced but this prepare path pins the "
+            "row-major layout (only >=32x32 2-D grid prepares honor cm); "
+            "proceeding row-major"
+        )
+    debug = bool(cfg.debug_checks or os.environ.get("PRECOND_DEBUG_CHECKS"))
     if cfg.inverse_kernel == "pallas" and jax.default_backend() != "cpu":
         from .ops.pallas.chol_inverse import invert_spd_blocks_chol
 
@@ -59,7 +71,9 @@ def _factorize(h96: jnp.ndarray, cfg: SchwarzConfig, n: int, allow_cm: bool = Fa
     elif cfg.inverse_kernel == "xla":
         inv96 = invert_spd_blocks(h96)
     else:
-        inv96 = invert_spd_blocks_panel(h96)
+        # debug mode disables the silent identity repair so a genuine
+        # factorization bug reaches assert_healthy as non-finite inv96
+        inv96 = invert_spd_blocks_panel(h96, repair=not debug)
     if cfg.use_packed_symv(n):
         from .ops.pallas.packed_symv import pack_sym96, pack_sym96_cm
 

@@ -58,8 +58,14 @@ def validate_apply_state(state: ApplyState) -> List[str]:
 
 
 def assert_healthy(state: ApplyState) -> None:
+    """Raise on an unhealthy prepared state.
+
+    A real exception (not `assert`): these are runtime validity checks, and
+    `python -O` strips asserts — a debug guard that silently disappears
+    under -O is worse than none (ADVICE r4)."""
     problems = validate_apply_state(state)
-    assert not problems, "; ".join(problems)
+    if problems:
+        raise RuntimeError("; ".join(problems))
 
 
 def assert_system_finite(ell) -> None:
@@ -74,4 +80,5 @@ def assert_system_finite(ell) -> None:
     blocks = getattr(ell, "blocks", None)
     if blocks is not None:
         problems += check_finite("system.blocks", blocks)
-    assert not problems, "; ".join(problems)
+    if problems:
+        raise ValueError("; ".join(problems))
