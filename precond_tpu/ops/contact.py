@@ -203,6 +203,61 @@ def stencil_contact_spmv(st: Stencils, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.zeros((n + 1, 3), jnp.float32).at[tgt_b].add(ys_b, mode="drop")[:n]
 
 
+class ContactSlots(NamedTuple):
+    """Prepare-time slot-sorted factorization of the rank-1 stencil SpMV.
+
+    The P = S*5 flat (stencil, vert) slots are sorted by target row ONCE
+    at prepare (the stencil set is static per prepare — the reference
+    rebuilds its stencil tables per PreparePreconditioner the same way,
+    cpp:304-413). The per-iteration apply then needs ZERO scatters:
+    TPU scatter rows price ~40 ns vs ~4 ns gather rows (docs/DESIGN.md
+    §3), which made the scatter-add form (`stencil_contact_spmv`) the
+    dominant term of the collide-config iteration (5.1 ms at ~37k
+    stencils). Here the scatter is replaced by one cumulative sum over
+    the row-sorted slot contributions plus segment differences read off
+    at static prefix boundaries — streaming + gathers only.
+    """
+
+    sid: jnp.ndarray     # i32[P] stencil id of each sorted slot
+    w: jnp.ndarray       # f32[P] signed slot weight (0 for invalid slots)
+    dvec: jnp.ndarray    # f32[P,3] stencil direction per sorted slot
+    bounds: jnp.ndarray  # i32[N+1]: #slots with target row < v
+
+
+def build_contact_slots(st: Stencils, n: int) -> ContactSlots:
+    """Sort the S*5 stencil slots by target row; precompute per-slot
+    weight/direction and the per-row prefix boundaries. Runs at prepare
+    time (jittable, static shapes)."""
+    act = st.valid[:, None] & (jnp.arange(5)[None, :] < st.nverts[:, None])
+    rows = jnp.where(act, st.idx, n).reshape(-1)          # [P]
+    order = jnp.argsort(rows, stable=True).astype(jnp.int32)
+    rows_s = jnp.take(rows, order)
+    sid = order // 5
+    w = jnp.take(jnp.where(act, st.weight, 0.0).reshape(-1), order)
+    dvec = jnp.take(st.direction, sid, axis=0)            # [P,3]
+    bounds = jnp.searchsorted(rows_s, jnp.arange(n + 1, dtype=rows_s.dtype))
+    return ContactSlots(sid=sid, w=w, dvec=dvec, bounds=bounds.astype(jnp.int32))
+
+
+def slot_contact_spmv(st: Stencils, cs: ContactSlots, x: jnp.ndarray) -> jnp.ndarray:
+    """y = H_contact x, scatter-free. Same operator as stencil_contact_spmv
+    (duplicate pairs merge by summation; fp accumulation order differs:
+    the cumulative-sum segments add in row-sorted slot order)."""
+    n = x.shape[0]
+    act = st.valid[:, None] & (jnp.arange(5)[None, :] < st.nverts[:, None])
+    w = jnp.where(act, st.weight, 0.0)                    # [S,5]
+    ids = jnp.clip(st.idx, 0, n - 1)
+    xs = jnp.take(x, ids.reshape(-1), axis=0).reshape(st.idx.shape + (3,))
+    t = jnp.einsum("sv,svk,sk->s", w, xs, st.direction)   # [S]
+    a = st.stiff * t                                      # [S]
+    ys = (jnp.take(a, cs.sid) * cs.w)[:, None] * cs.dvec  # [P,3] sorted order
+    csum = jnp.concatenate(
+        [jnp.zeros((1, 3), jnp.float32), jnp.cumsum(ys, axis=0)], axis=0
+    )                                                     # [P+1,3]
+    cb = jnp.take(csum, cs.bounds, axis=0)                # [N+1,3]
+    return cb[1:] - cb[:-1]
+
+
 def contact_diag(st: Stencils, n: int) -> jnp.ndarray:
     """f32[N,3,3] contact diagonal blocks (for block-Jacobi of the full
     system), without building the off-diagonal ELL."""

@@ -89,7 +89,7 @@ def main():
     # global sharded inputs for the halo solve
     ell_sorted = blockcsr.permute(ell, maps.sorted_to_orig, maps.orig_to_sorted)
     hsys = halo.build_halo_system(ell_sorted, ndev)
-    sap = halo.split_apply_state(state, cfg, n)
+    sap = halo.split_apply_state(state, cfg, n, num_shards=ndev)
     b_sorted = jnp.take(b, maps.sorted_to_orig, axis=0)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -105,9 +105,19 @@ def main():
         globalize(hsys.blocks, row), globalize(hsys.send_idx, row),
         globalize(hsys.recv_perm, row),
     )
+    from precond_tpu.ops.pallas.packed_symv import PackedInverse as _PK
+
+    if isinstance(sap.inv_fine, _PK):
+        invf = _PK(f=globalize(sap.inv_fine.f, P(None, None, "x")),
+                   dg=globalize(sap.inv_fine.dg, P(None, "x")),
+                   nb=globalize(sap.inv_fine.nb, rep))
+        invc = jax.tree.map(lambda a: globalize(a, rep), sap.inv_coarse)
+    else:
+        invf = globalize(sap.inv_fine, row)
+        invc = globalize(sap.inv_coarse, rep)
     sap_parts = (
         globalize(sap.going_next_fine[:n], row), globalize(sap.anc1, row),
-        globalize(sap.inv_fine, row), globalize(sap.inv_coarse, rep),
+        invf, invc,
         globalize(sap.going_next_coarse, rep),
     )
     bg = globalize(b_sorted, row)
@@ -116,6 +126,7 @@ def main():
     solver = halo.halo_pcg_solver(
         mesh, cfg, n, hsys.halo, levels, sap.total_coarse,
         tol=1e-4, max_iters=200,
+        packed=isinstance(sap.inv_fine, _PK),
     )
     with mesh:
         res = solver(ell_parts, sap_parts, bg)

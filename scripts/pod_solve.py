@@ -61,7 +61,11 @@ def main():
     state = prepare_preconditioner(ell, maps, cfg)
     ell_sorted = blockcsr.permute(ell, maps.sorted_to_orig, maps.orig_to_sorted)
     hsys = halo.build_halo_system(ell_sorted, ndev)
-    sap = halo.split_apply_state(state, cfg, n)
+    # num_shards aligns the packed inverse's batch padding to the mesh;
+    # at >= 4096 blocks the default config prepares a PackedInverse and
+    # the halo apply runs the per-shard Pallas packed symv (ADVICE r4:
+    # this script used to crash there)
+    sap = halo.split_apply_state(state, cfg, n, num_shards=ndev)
     rng = np.random.default_rng(0)
     b_sorted = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
 
@@ -78,17 +82,30 @@ def main():
         globalize(hsys.blocks, row), globalize(hsys.send_idx, row),
         globalize(hsys.recv_perm, row),
     )
+    from precond_tpu.ops.pallas.packed_symv import PackedInverse as _PK
+
+    if isinstance(sap.inv_fine, _PK):
+        invf = _PK(f=globalize(sap.inv_fine.f, P(None, None, "x")),
+                   dg=globalize(sap.inv_fine.dg, P(None, "x")),
+                   nb=globalize(sap.inv_fine.nb, rep))
+        invc = jax.tree.map(lambda a: globalize(a, rep), sap.inv_coarse)
+    else:
+        invf = globalize(sap.inv_fine, row)
+        invc = globalize(sap.inv_coarse, rep)
     sap_parts = (
         globalize(sap.going_next_fine[:n], row), globalize(sap.anc1, row),
-        globalize(sap.inv_fine, row), globalize(sap.inv_coarse, rep),
+        invf, invc,
         globalize(sap.going_next_coarse, rep),
     )
     bg = globalize(b_sorted, row)
+
+    from precond_tpu.ops.pallas.packed_symv import PackedInverse
 
     levels = cfg.num_levels(n)
     solver = halo.halo_pcg_solver(
         mesh, cfg, n, hsys.halo, levels, sap.total_coarse,
         tol=args.tol, max_iters=400,
+        packed=isinstance(sap.inv_fine, PackedInverse),
     )
     with mesh:
         res = solver(ell_parts, sap_parts, bg)   # compile + converge

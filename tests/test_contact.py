@@ -1,5 +1,6 @@
 """Contact fill-in (ops/contact.py) vs an independent dense oracle."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -78,6 +79,22 @@ def test_stencil_contact_spmv_matches_dense_oracle():
     np.testing.assert_allclose(
         np.asarray(contact_diag(st, n)), np.asarray(ce.diag), rtol=0, atol=1e-6
     )
+
+
+def test_slot_contact_spmv_matches_dense_oracle():
+    """The slot-sorted scatter-free apply (build_contact_slots +
+    slot_contact_spmv) must equal the dense H_c like the scatter form."""
+    from precond_tpu.ops.contact import build_contact_slots, slot_contact_spmv
+
+    st, n = _folded_stencils()
+    cs = jax.jit(build_contact_slots, static_argnums=1)(st, n)
+    h = _dense_oracle(st, n)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((n, 3)).astype(np.float32)
+    y_ref = (h @ x.reshape(-1).astype(np.float64)).reshape(n, 3)
+    y = np.asarray(jax.jit(slot_contact_spmv)(st, cs, jnp.asarray(x)))
+    scale = max(np.abs(y_ref).max(), 1e-12)
+    np.testing.assert_allclose(y, y_ref, rtol=0, atol=5e-6 * scale)
 
 
 def test_contact_ell_budget_drops_counted():
