@@ -93,6 +93,8 @@ def run_config(config, grid):
     mass = float(os.environ.get("BENCH_MASS", "0.001"))
     stencils = None
     contact = None
+    cslots = None
+    collide_m = None
     analytic_hier = False
     box_maps = None
     bsys = None
@@ -185,7 +187,19 @@ def run_config(config, grid):
         # where even a contact-tracking M needs 500+ iterations.
         budget = int(os.environ.get("BENCH_COLLISION_BUDGET", str(n // 4)))
         cap = int(os.environ.get("BENCH_COLLISION_CAP", "2"))
-        thresh, stiff = 0.75 * h, 1e3
+        # Penalty stiffness: default matches the cloth springs (1e4) —
+        # the penetration-enforcing regime (a penalty softer than the
+        # elasticity it opposes cannot stop penetration). BENCH_COLLIDE_M
+        # selects the preconditioner build: "general" (default) runs the
+        # reference's actual pipeline — position-Morton sort (isotropic,
+        # config.morton_normalization) + contact connectivity in the
+        # hierarchy — which on the folded sheet puts contact pairs inside
+        # fine domains (504 vs 1160 Schwarz iters at stiff 1e4,
+        # scripts/probe_isosort.py); "static" pins the contact-blind
+        # analytic tile ordering (the r4-recorded configuration).
+        thresh = 0.75 * h
+        stiff = float(os.environ.get("BENCH_CONTACT_STIFF", "1e4"))
+        collide_m = os.environ.get("BENCH_COLLIDE_M", "general")
         pj = jnp.asarray(positions)
         fj, ej = jnp.asarray(mesh.faces), jnp.asarray(mesh.edges)
         vf, _ = coll.detect_vf_grid(pj, fj, thresh, stiff, budget, per_vertex_cap=cap)
@@ -209,12 +223,14 @@ def run_config(config, grid):
         # contacts belong IN the system (the reference host's CSR carries
         # the fill-in; the stencils exist so M can track it) — an M with
         # terms H lacks is actively harmful (632 vs 448 Jacobi iters).
-        from precond_tpu.ops.contact import build_contact_ell
+        from precond_tpu.ops.contact import build_contact_ell, build_contact_slots
 
         kc = int(os.environ.get("BENCH_CONTACT_KC", "32"))
         contact = jax.jit(
             lambda s: build_contact_ell(s, n, kc=kc)
         )(stencils)
+        # slot-sorted scatter-free apply tables (ops/contact.ContactSlots)
+        cslots = jax.jit(build_contact_slots, static_argnums=1)(stencils, n)
     else:
         mesh = cloth.make_grid(grid, grid, z_wave=0.02, mass=mass, dt=1.0 / 60.0)
         n = mesh.num_verts
@@ -239,7 +255,14 @@ def run_config(config, grid):
             mesh, positions=positions,
             sym=os.environ.get("BENCH_SPMV_SYM", "0") == "1",
         )
-        if gm.supported(grid, grid) and os.environ.get("BENCH_GRIDMORTON", "1") != "0":
+        # collide with the general-M build skips the analytic tile order
+        # entirely: its maps must be the position-based (isotropic) Morton
+        # sort so contact pairs cluster together (see BENCH_COLLIDE_M
+        # above); the solve then runs grid-order with the orig-order
+        # precondition() (two data-permutes per iteration).
+        skip_gm = config == "collide" and collide_m == "general"
+        if (gm.supported(grid, grid) and not skip_gm
+                and os.environ.get("BENCH_GRIDMORTON", "1") != "0"):
             gmk = grid.bit_length() - 1
             if os.environ.get("BENCH_GRIDPREP", "1") != "0":
                 # static-pattern grid prepare (no sort/permute/hierarchy)
@@ -469,24 +492,23 @@ def run_config(config, grid):
     else:
         spmv_op, pre_op, b_iter = ells, lambda st, r: precondition_sorted(st, r, cfg), b_sorted
     if ssys is not None and contact is not None:
-        # rank-1 stencil contact SpMV: same operator as the compact-row ELL
-        # (which stays for the nnz count + Jacobi diagonal) with ~30x fewer
-        # gathered rows at the fold's ~16k stencils (ops/contact.py)
-        from precond_tpu.ops.contact import stencil_contact_spmv
+        # slot-sorted scatter-free rank-1 contact SpMV (ops/contact.py
+        # ContactSlots): same operator as the compact-row ELL (which stays
+        # for the nnz count + Jacobi diagonal); plane layout, zero
+        # scatters, comp-major native
+        from precond_tpu.ops.contact import slot_contact_spmv_t
 
-        spmv_op = (spmv_op, stencils)
+        spmv_op = (spmv_op, cslots)
 
         if cm_solve:
-            # comp-major carries; the rank-1 contact term stays row-major
-            # (small active set) behind a transpose pair
             def spmv_fn(op, v):
-                return gridstencil.spmv_t(op[0], v) + jnp.transpose(
-                    stencil_contact_spmv(op[1], jnp.transpose(v))
-                )
+                return gridstencil.spmv_t(op[0], v) + slot_contact_spmv_t(op[1], v)
         else:
 
             def spmv_fn(op, v):
-                return gridstencil.spmv(op[0], v) + stencil_contact_spmv(op[1], v)
+                return gridstencil.spmv(op[0], v) + jnp.transpose(
+                    slot_contact_spmv_t(op[1], jnp.transpose(v))
+                )
     elif cm_solve:
         spmv_fn = gridstencil.spmv_t
     elif ssys is not None and os.environ.get("BENCH_SPMV_PALLAS", "0") == "1":

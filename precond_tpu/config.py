@@ -143,11 +143,38 @@ class SchwarzConfig:
     # printf, cpp:312-316, was its only runtime diagnostic).
     debug_checks: bool = False
 
+    # Morton-sort normalization. The reference divides each axis by its
+    # own AABB extent (FillSortingData, cpp:225-231); on near-flat
+    # configurations (a draped/folded sheet) that stretches the thin axis
+    # to unit scale, so vertices in CONTACT (h/2 apart in real space)
+    # sort to opposite ends and no fine domain ever contains a contact
+    # pair. "isotropic" divides by the max extent, preserving true
+    # distances: measured on the folded-sheet contact config, Schwarz
+    # PCG iterations drop 1160 -> 504 at penalty stiffness 1e4 while
+    # Jacobi stays at 960 (scripts/probe_isosort.py) — a deliberate
+    # improvement over the reference (PARITY.md deviations).
+    #   "isotropic" (default) | "per_axis" (reference-exact)
+    morton_normalization: str = "isotropic"
+
+    # Coarse-level correction damping of the additive apply:
+    # z = z_0 + coarse_damping * sum_{l>=1} z_l. 1.0 is the reference's
+    # plain additive sum (CollectFinalZ, cpp:1708-1717). Stiff cross-bank
+    # contact constraints over-correct additively; 0.25-0.5 measured
+    # 10-20% fewer PCG iterations in the contact-stiff regime with no
+    # effect elsewhere (scripts/probe_damping.py). Kept at 1.0 by
+    # default for reference fidelity.
+    coarse_damping: float = 1.0
+
     # Storage dtype of the factorized domain inverses. "bfloat16" halves
     # the apply-phase HBM traffic (the [B,96,96] read dominates each PCG
     # iteration); rounding a symmetric matrix entrywise keeps it exactly
     # symmetric, so CG stays valid — typically costs a few extra
-    # iterations on stiff systems. Accumulation stays f32.
+    # iterations on stiff systems. Accumulation stays f32. CAUTION: at
+    # cloth-stiff conditioning (~1e7) the rounded M can lose positive
+    # definiteness and stall/diverge CG (measured r2; also sensitive to
+    # the clustering — diverges under the isotropic sort on the same
+    # mesh where the per-axis sort merely costs iterations). Use for
+    # milder regimes only; f32 is the production default.
     inverse_dtype: str = "float32"
 
     def __post_init__(self):
@@ -155,6 +182,8 @@ class SchwarzConfig:
         assert self.closure_iters >= math.ceil(math.log2(self.bank_size))
         assert self.symv_kernel in ("auto", "dense", "packed"), self.symv_kernel
         assert self.solve_layout in ("auto", "rows", "cm"), self.solve_layout
+        assert self.morton_normalization in ("isotropic", "per_axis")
+        assert 0.0 < self.coarse_damping <= 1.0, self.coarse_damping
 
     # ---- static level geometry ------------------------------------------
 

@@ -128,7 +128,10 @@ def prolong_and_collect_gather(
         pz = pz.at[seg].add(jnp.take(pz, parents, axis=0, mode="fill", fill_value=0))
     z = mz[:n]
     if top > 1:
-        z = z + jnp.take(pz, ancestors[:, 0], axis=0)
+        coarse = jnp.take(pz, ancestors[:, 0], axis=0)
+        if cfg.coarse_damping != 1.0:
+            coarse = coarse * cfg.coarse_damping
+        z = z + coarse
     return z
 
 
@@ -194,6 +197,8 @@ def prolong_and_collect_onehot(
             state.restrict_onehot[:b0][:, :, :, None] * winshift[:, :, None, :],
             axis=1,
         )                                                  # [B0, 32, 3]
+        if cfg.coarse_damping != 1.0:
+            contrib = contrib * cfg.coarse_damping
         z = z + contrib.reshape(-1, 3)[:n]
     return z
 

@@ -112,6 +112,39 @@ def _scalar_scatter9(flat: jnp.ndarray, ids: jnp.ndarray, mat9: jnp.ndarray,
     return flat.at[t].add(v, mode="drop")
 
 
+def segment_place9(ids: jnp.ndarray, mat9: jnp.ndarray, valid: jnp.ndarray,
+                   size: int) -> jnp.ndarray:
+    """Dense segment sum: out[m] = sum of mat9 rows with ids == m, f32[size,9].
+
+    Scatter-free placement for large irregular sets: TPU scatter-add
+    prices per ELEMENT (~11 ns — a [1M,9] row scatter costs 108 ms,
+    scripts/probe_scatter_cost.py), so instead sort the rows by target
+    (argsort ~1 ms/M), build per-target prefix bounds from a SCALAR
+    histogram (a [P,1] scatter is 16x cheaper than [P,9]), one cumulative
+    sum over the sorted payloads, and read each target's segment off as a
+    boundary difference — everything else streams. ~3x cheaper than the
+    direct row scatter at the collide-config's ~1M pair payloads, and the
+    result is a dense array that ADDs into the banked table for free.
+
+    fp note: each target's sum accumulates in sorted-run order as a
+    cumsum difference (exact f32 adds, different association than the
+    scatter form — tests compare at tolerance).
+    """
+    p = ids.shape[0]
+    tgt = jnp.where(valid, ids, size)
+    order = jnp.argsort(tgt).astype(jnp.int32)
+    m_s = jnp.take(mat9, order, axis=0)
+    csum = jnp.concatenate(
+        [jnp.zeros((1, 9), jnp.float32), jnp.cumsum(m_s, axis=0)], axis=0
+    )
+    counts = jnp.zeros((size + 1,), jnp.int32).at[tgt].add(1, mode="drop")
+    bounds = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts[:size])]
+    )
+    cb = jnp.take(csum, bounds, axis=0)                   # [size+1, 9]
+    return cb[1:] - cb[:-1]
+
+
 class CollisionTerms(NamedTuple):
     """Pairwise collision contributions, fine sorted space (from stencils)."""
 
@@ -220,28 +253,58 @@ def assemble_banked_hessian(
     addl9 = jnp.zeros((total * 9,), jnp.float32)
     pair_rows = []  # (rows, vals[.,288], valid) from collisions
 
+    pair_dense288 = None
     if collisions is not None:
-        addl9 = _scalar_scatter9(
-            addl9, collisions.diag_ids, collisions.diag_mat.reshape(-1, 9),
-            collisions.diag_valid, total,
-        )
         my_c, ot_c, merged = common_bank_climb(
             collisions.pair_a, collisions.pair_b, gn, levels, total
         )
         okc = merged & collisions.pair_valid
         pm9 = collisions.pair_mat.reshape(-1, 9)
-        ycol = jnp.asarray(_YCOL)
-        pv = _tile288(pm9)
-        # symmetric into the shared bank (cpp:1181-1182)
-        pair_rows.append((my_c, pv * ((ot_c % BANK)[:, None] == ycol), okc))
-        pair_rows.append((ot_c, pv * ((my_c % BANK)[:, None] == ycol), okc))
-        # parent diagonal compensation one level further up (cpp:1184-1198);
-        # coinciding parents receive the reference's 2x via the two adds.
         pmy = jnp.take(gn, jnp.minimum(my_c, total))
         pot = jnp.take(gn, jnp.minimum(ot_c, total))
         ok_up = okc & (pmy < total)
-        addl9 = _scalar_scatter9(addl9, pmy, pm9, ok_up, total)
-        addl9 = _scalar_scatter9(addl9, pot, pm9, ok_up, total)
+        big = int(collisions.pair_a.shape[0]) > 32768
+        if big:
+            # scatter-free placement (segment_place9): at the collide
+            # config's ~1M pairs the [P,288] row scatters + [9P] scalar
+            # scatters below cost ~290 ms of prepare; the sorted-cumsum
+            # dense form is ~3x cheaper and adds into hb2 as a stream.
+            addl9 = addl9 + segment_place9(
+                collisions.diag_ids, collisions.diag_mat.reshape(-1, 9),
+                collisions.diag_valid, total,
+            ).reshape(-1)
+            # symmetric into the shared bank (cpp:1181-1182), slot space
+            slots = jnp.concatenate(
+                [my_c * BANK + ot_c % BANK, ot_c * BANK + my_c % BANK]
+            )
+            pm2 = jnp.concatenate([pm9, pm9])
+            ok2 = jnp.concatenate([okc, okc])
+            pair_dense = segment_place9(slots, pm2, ok2, total * BANK)
+            pair_dense288 = (
+                pair_dense.reshape(total, BANK, 3, 3)
+                .transpose(0, 2, 1, 3)
+                .reshape(total, ROW)
+            )
+            # parent diagonal compensation one level up (cpp:1184-1198);
+            # coinciding parents receive the reference's 2x via both adds
+            addl9 = addl9 + segment_place9(
+                jnp.concatenate([pmy, pot]), pm2,
+                jnp.concatenate([ok_up, ok_up]), total,
+            ).reshape(-1)
+        else:
+            addl9 = _scalar_scatter9(
+                addl9, collisions.diag_ids, collisions.diag_mat.reshape(-1, 9),
+                collisions.diag_valid, total,
+            )
+            ycol = jnp.asarray(_YCOL)
+            pv = _tile288(pm9)
+            # symmetric into the shared bank (cpp:1181-1182)
+            pair_rows.append((my_c, pv * ((ot_c % BANK)[:, None] == ycol), okc))
+            pair_rows.append((ot_c, pv * ((my_c % BANK)[:, None] == ycol), okc))
+            # parent diagonal compensation one level further up
+            # (cpp:1184-1198); coinciding parents get 2x via the two adds.
+            addl9 = _scalar_scatter9(addl9, pmy, pm9, ok_up, total)
+            addl9 = _scalar_scatter9(addl9, pot, pm9, ok_up, total)
 
     # ---- pair merge levels (cpp:1282-1287) --------------------------------
     if merge_map is not None:
@@ -289,6 +352,8 @@ def assemble_banked_hessian(
 
     for rows, vals, valid in pair_rows:
         hb2 = _row_scatter(hb2, rows, vals, valid, total)
+    if pair_dense288 is not None:
+        hb2 = hb2.at[:total].add(pair_dense288)
 
     # ---- identity-fill empty diagonals (cpp:1359-1377) --------------------
     node = jnp.arange(total, dtype=jnp.int32)

@@ -204,58 +204,104 @@ def stencil_contact_spmv(st: Stencils, x: jnp.ndarray) -> jnp.ndarray:
 
 
 class ContactSlots(NamedTuple):
-    """Prepare-time slot-sorted factorization of the rank-1 stencil SpMV.
+    """Prepare-time slot-sorted, PLANE-layout factorization of the rank-1
+    stencil SpMV.
 
     The P = S*5 flat (stencil, vert) slots are sorted by target row ONCE
     at prepare (the stencil set is static per prepare — the reference
     rebuilds its stencil tables per PreparePreconditioner the same way,
-    cpp:304-413). The per-iteration apply then needs ZERO scatters:
-    TPU scatter rows price ~40 ns vs ~4 ns gather rows (docs/DESIGN.md
-    §3), which made the scatter-add form (`stencil_contact_spmv`) the
-    dominant term of the collide-config iteration (5.1 ms at ~37k
-    stencils). Here the scatter is replaced by one cumulative sum over
-    the row-sorted slot contributions plus segment differences read off
-    at static prefix boundaries — streaming + gathers only.
+    cpp:304-413). The per-iteration apply then needs ZERO scatters and
+    ZERO narrow-minor arrays:
+
+      * scatters price per ELEMENT on TPU (~7 ns; a [P,9] row scatter at
+        ~1M rows costs 108 ms, scripts/probe_scatter_cost.py), so the
+        scatter-add form (`stencil_contact_spmv`) dominated the collide
+        iteration (≈4.9 ms at ~49k stencils). Here the scatter is one
+        cumulative sum over row-sorted slot contributions plus segment
+        differences at static prefix boundaries — gathers only.
+      * every array is a WIDE flat plane ([5,S] / [3,S] / [P]): a
+        [S,5,3] minor-3 layout pads 3 lanes to 128 and cost ~2 ms of
+        hidden relayout in the first slot-form attempt.
+
+    All fields are prepare-time constants; the apply needs only x.
     """
 
-    sid: jnp.ndarray     # i32[P] stencil id of each sorted slot
-    w: jnp.ndarray       # f32[P] signed slot weight (0 for invalid slots)
-    dvec: jnp.ndarray    # f32[P,3] stencil direction per sorted slot
-    bounds: jnp.ndarray  # i32[N+1]: #slots with target row < v
+    ids5: jnp.ndarray    # i32[5,S] clipped gather row per slot position
+    w5: jnp.ndarray      # f32[5,S] signed weights (0 for inactive slots)
+    d3: jnp.ndarray      # f32[3,S] stencil directions (planes)
+    stiff: jnp.ndarray   # f32[S]
+    sid: jnp.ndarray     # i32[P] stencil id of each SORTED slot
+    wsl: jnp.ndarray     # f32[P] sorted slot weight (0 for invalid)
+    dsl: jnp.ndarray     # f32[3,P] sorted slot direction planes
+    bounds: jnp.ndarray  # i32[N+1]: #sorted slots with target row < v
 
 
 def build_contact_slots(st: Stencils, n: int) -> ContactSlots:
-    """Sort the S*5 stencil slots by target row; precompute per-slot
-    weight/direction and the per-row prefix boundaries. Runs at prepare
-    time (jittable, static shapes)."""
+    """Sort the S*5 stencil slots by target row; precompute plane-layout
+    gather tables and the per-row prefix boundaries (histogram + cumsum —
+    searchsorted's binary search costs ~340 ms at 2M queries on TPU).
+    Runs at prepare time (jittable, static shapes)."""
     act = st.valid[:, None] & (jnp.arange(5)[None, :] < st.nverts[:, None])
+    w = jnp.where(act, st.weight, 0.0)                    # [S,5]
     rows = jnp.where(act, st.idx, n).reshape(-1)          # [P]
     order = jnp.argsort(rows, stable=True).astype(jnp.int32)
-    rows_s = jnp.take(rows, order)
     sid = order // 5
-    w = jnp.take(jnp.where(act, st.weight, 0.0).reshape(-1), order)
-    dvec = jnp.take(st.direction, sid, axis=0)            # [P,3]
-    bounds = jnp.searchsorted(rows_s, jnp.arange(n + 1, dtype=rows_s.dtype))
-    return ContactSlots(sid=sid, w=w, dvec=dvec, bounds=bounds.astype(jnp.int32))
+    wsl = jnp.take(w.reshape(-1), order)
+    dsl = jnp.take(jnp.transpose(st.direction), sid, axis=1)  # [3,P]
+    counts = (
+        jnp.zeros((n + 1,), jnp.int32)
+        .at[rows]
+        .add(1, mode="drop")[:n]
+    )
+    bounds = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)]
+    )
+    return ContactSlots(
+        ids5=jnp.transpose(jnp.clip(st.idx, 0, n - 1)),
+        w5=jnp.transpose(w),
+        d3=jnp.transpose(st.direction),
+        stiff=st.stiff,
+        sid=sid,
+        wsl=wsl,
+        dsl=dsl,
+        bounds=bounds,
+    )
+
+
+def slot_contact_spmv_t(cs: ContactSlots, xt: jnp.ndarray) -> jnp.ndarray:
+    """y^T = H_contact x^T on comp-major [3,N] planes, scatter-free.
+
+    Same operator as stencil_contact_spmv (duplicate pairs merge by
+    summation; fp accumulation order differs: segments add in row-sorted
+    slot order). 15 flat [S] gathers + 1 [P] gather + 3 [N+1] boundary
+    gathers; everything else streams."""
+    t = jnp.zeros(cs.stiff.shape, jnp.float32)
+    for v in range(5):
+        ids = cs.ids5[v]
+        dot = (
+            jnp.take(xt[0], ids) * cs.d3[0]
+            + jnp.take(xt[1], ids) * cs.d3[1]
+            + jnp.take(xt[2], ids) * cs.d3[2]
+        )
+        t = t + cs.w5[v] * dot
+    a = cs.stiff * t                                      # [S]
+    base = jnp.take(a, cs.sid) * cs.wsl                   # [P]
+    outs = []
+    for c in range(3):
+        ys = base * cs.dsl[c]
+        csum = jnp.concatenate([jnp.zeros((1,), jnp.float32), jnp.cumsum(ys)])
+        cb = jnp.take(csum, cs.bounds)
+        outs.append(cb[1:] - cb[:-1])
+    return jnp.stack(outs)                                # [3,N]
 
 
 def slot_contact_spmv(st: Stencils, cs: ContactSlots, x: jnp.ndarray) -> jnp.ndarray:
-    """y = H_contact x, scatter-free. Same operator as stencil_contact_spmv
-    (duplicate pairs merge by summation; fp accumulation order differs:
-    the cumulative-sum segments add in row-sorted slot order)."""
-    n = x.shape[0]
-    act = st.valid[:, None] & (jnp.arange(5)[None, :] < st.nverts[:, None])
-    w = jnp.where(act, st.weight, 0.0)                    # [S,5]
-    ids = jnp.clip(st.idx, 0, n - 1)
-    xs = jnp.take(x, ids.reshape(-1), axis=0).reshape(st.idx.shape + (3,))
-    t = jnp.einsum("sv,svk,sk->s", w, xs, st.direction)   # [S]
-    a = st.stiff * t                                      # [S]
-    ys = (jnp.take(a, cs.sid) * cs.w)[:, None] * cs.dvec  # [P,3] sorted order
-    csum = jnp.concatenate(
-        [jnp.zeros((1, 3), jnp.float32), jnp.cumsum(ys, axis=0)], axis=0
-    )                                                     # [P+1,3]
-    cb = jnp.take(csum, cs.bounds, axis=0)                # [N+1,3]
-    return cb[1:] - cb[:-1]
+    """Row-major wrapper of slot_contact_spmv_t ([N,3] in/out).
+
+    `st` is unused (the slots carry everything) and kept for signature
+    stability with stencil_contact_spmv."""
+    del st
+    return jnp.transpose(slot_contact_spmv_t(cs, jnp.transpose(x)))
 
 
 def contact_diag(st: Stencils, n: int) -> jnp.ndarray:

@@ -213,6 +213,8 @@ def precondition_grid_cm(
         curz = z3[:, offs[l] // BANK : offs[l + 1] // BANK]
         nb = (offs[l + 1] - offs[l]) // BANK
         vals = pz.reshape(3, -1)[:, :nb]                 # parent z per child bank
+        if l == 0 and cfg.coarse_damping != 1.0:
+            vals = vals * cfg.coarse_damping             # z = z0 + theta*sum z_l
         pz = curz + vals[:, :, None]
     return pz.reshape(3, -1)[:, :n]
 
@@ -263,5 +265,7 @@ def precondition_grid(
         curz = z96[offs[l] // BANK : offs[l + 1] // BANK]
         nb = (offs[l + 1] - offs[l]) // BANK
         vals = pz.reshape(-1, 3)[:nb]                # parent z per child bank
+        if l == 0 and cfg.coarse_damping != 1.0:
+            vals = vals * cfg.coarse_damping         # z = z0 + theta*sum z_l
         pz = curz + dot(vals, sel.T)
     return pz.reshape(-1, 3)[:n]

@@ -201,17 +201,11 @@ def grid_collision_terms(
     Returns (rows f32[total, 288] of sparse row payloads to add after the
     static assembly, dg_add f32[n, 3, 3] extra fine diagonals to fold into
     the streaming diagonal before it)."""
-    from .assembly import ROW, _scalar_scatter9
+    from .assembly import ROW, _scalar_scatter9, segment_place9
 
     levels = cfg.num_levels(n)
     offs = cfg.level_offsets(n)
     total = offs[-1]
-
-    addl9 = jnp.zeros((total * 9,), jnp.float32)
-    addl9 = _scalar_scatter9(
-        addl9, collisions.diag_ids, collisions.diag_mat.reshape(-1, 9),
-        collisions.diag_valid, total,
-    )
 
     # climb both pair endpoints to the first common bank (arithmetic)
     my, ot = collisions.pair_a, collisions.pair_b
@@ -224,27 +218,65 @@ def grid_collision_terms(
         lam = lam + step.astype(jnp.int32)
     merged = ((my // BANK) == (ot // BANK)) & (lam < levels) & (my < total)
     okc = merged & collisions.pair_valid
-
-    # 9-wide slot scatters: slot = node*32 + column lane. The 288-wide row
-    # payloads of the general path write 32x the elements (scatters are
-    # element-priced on TPU) — at the bench fold's 16k stencils (327k
-    # pairs) the row form alone was ~200 ms of collide-config prepare.
-    hb9 = jnp.zeros(((total + 1) * BANK, 9), jnp.float32)
+    pm9 = collisions.pair_mat.reshape(-1, 9)
+    big = int(collisions.pair_a.shape[0]) > 32768
 
     def scat(h, node, lane, m9, ok):
         tgt = jnp.where(ok, node * BANK + lane, total * BANK)
         t, v = jax.lax.optimization_barrier((tgt, m9))
         return h.at[t].add(v, mode="drop")
 
-    pm9 = collisions.pair_mat.reshape(-1, 9)
-    hb9 = scat(hb9, my, ot % BANK, pm9, okc)
-    hb9 = scat(hb9, ot, my % BANK, pm9, okc)
-    # parent diagonal compensation one level further up (cpp:1184-1198)
-    pmy = arith_parent(jnp.minimum(my, total), cfg, n)
-    pot = arith_parent(jnp.minimum(ot, total), cfg, n)
-    ok_up = okc & (pmy < total)
-    addl9 = _scalar_scatter9(addl9, pmy, pm9, ok_up, total)
-    addl9 = _scalar_scatter9(addl9, pot, pm9, ok_up, total)
+    if big:
+        # Scatter-free placement (assembly.segment_place9): the 9-wide
+        # slot scatters below price per element (~11 ns) and cost 236 ms
+        # of the collide-256 prepare at ~1M pairs; the sorted-cumsum
+        # dense form is ~3x cheaper (scripts/probe_scatter_cost.py).
+        diag_dense = segment_place9(
+            collisions.diag_ids, collisions.diag_mat.reshape(-1, 9),
+            collisions.diag_valid, total,
+        )                                                 # [total, 9]
+        slots = jnp.concatenate(
+            [my * BANK + ot % BANK, ot * BANK + my % BANK]
+        )
+        pair_dense = segment_place9(
+            slots, jnp.concatenate([pm9, pm9]),
+            jnp.concatenate([okc, okc]), total * BANK,
+        )                                                 # [total*32, 9]
+        # parent diagonal compensation one level further up
+        # (cpp:1184-1198): on the ARITHMETIC hierarchy, parent(x) =
+        # offs[l+1] + (x-offs[l])//32, so "sum each node's pair blocks
+        # and push to its parent" is a lane reduce + per-level 32-child
+        # reshape-sum — no scatters at all. Padded nodes hold zero
+        # pairsum, so summing every capacity group is exact.
+        pairsum = pair_dense.reshape(total, BANK, 9).sum(axis=1)
+        comp = jnp.zeros((total, 9), jnp.float32)
+        for l in range(levels - 1):
+            seg = pairsum[offs[l] : offs[l + 1]]
+            red = seg.reshape(-1, BANK, 9).sum(axis=1)    # [cap_l/32, 9]
+            take = min(red.shape[0], offs[l + 2] - offs[l + 1])
+            comp = comp.at[offs[l + 1] : offs[l + 1] + take].add(red[:take])
+        hb9 = jnp.pad(pair_dense, ((0, BANK), (0, 0)))    # + dump bank
+        addl = diag_dense + comp                          # [total, 9]
+        addl9 = addl.reshape(-1)
+    else:
+        addl9 = jnp.zeros((total * 9,), jnp.float32)
+        addl9 = _scalar_scatter9(
+            addl9, collisions.diag_ids, collisions.diag_mat.reshape(-1, 9),
+            collisions.diag_valid, total,
+        )
+        # 9-wide slot scatters: slot = node*32 + column lane. The 288-wide
+        # row payloads of the general path write 32x the elements — at the
+        # bench fold's 16k stencils (327k pairs) the row form alone was
+        # ~200 ms of collide-config prepare.
+        hb9 = jnp.zeros(((total + 1) * BANK, 9), jnp.float32)
+        hb9 = scat(hb9, my, ot % BANK, pm9, okc)
+        hb9 = scat(hb9, ot, my % BANK, pm9, okc)
+        # parent diagonal compensation one level further up (cpp:1184-1198)
+        pmy = arith_parent(jnp.minimum(my, total), cfg, n)
+        pot = arith_parent(jnp.minimum(ot, total), cfg, n)
+        ok_up = okc & (pmy < total)
+        addl9 = _scalar_scatter9(addl9, pmy, pm9, ok_up, total)
+        addl9 = _scalar_scatter9(addl9, pot, pm9, ok_up, total)
 
     # coarse-node additional pushed along the full ancestor chain
     # (cpp:1236-1252); fine part folds into the streaming diagonal

@@ -76,6 +76,13 @@ class ShardedApply(NamedTuple):
     going_next_coarse: jnp.ndarray  # i32[total_coarse+1] parent within coarse vector
     n: int
     total_coarse: int
+    # LIVE level-1 node count (1 + max fine parent): the restriction psum
+    # covers only [0, l1_live) + a dump slot instead of the whole padded
+    # coarse vector. At 4M verts this halves the dominant comm term of
+    # the iteration (the capacity-padded psum was 6.7 MB/iter and capped
+    # the projected scaling efficiency at 77%, scripts/scaling_model.py —
+    # below the >=80% BASELINE.json:11 target; trimmed it clears it).
+    l1_live: int = 0
 
 
 def _empty_tables(num_shards: int):
@@ -240,6 +247,9 @@ def split_apply_state(
     gnc = np.where(gnc >= total, total_coarse, gnc - cap0).astype(np.int32)
     anc = np.asarray(state.ancestors)
     anc1 = (anc[:, 0] - cap0).astype(np.int32) if anc.shape[1] else np.zeros(n, np.int32)
+    live = gnf[gnf < total_coarse]
+    l1_live = int(live.max()) + 1 if live.size else 0
+    l1_live = min(-(-l1_live // 8) * 8, total_coarse)
     b0 = cap0 // BANK
     if isinstance(state.inv96, PackedInverse):
         bc = total // BANK - b0
@@ -283,6 +293,7 @@ def split_apply_state(
         going_next_coarse=jnp.asarray(gnc),
         n=n,
         total_coarse=total_coarse,
+        l1_live=l1_live,
     )
 
 
@@ -318,7 +329,8 @@ def local_contact_spmv(st, x_l: jnp.ndarray, axis: str, rows_per: int) -> jnp.nd
 def halo_pcg_solver(mesh: Mesh, cfg: SchwarzConfig, n: int, halo: int,
                     levels: int, total_coarse: int, axis: str = "x",
                     tol: float = 1e-4, max_iters: int = 400,
-                    with_contact: bool = False, packed: bool = False):
+                    with_contact: bool = False, packed: bool = False,
+                    l1_live: int | None = None):
     """Build the jitted shard_map PCG solve (sorted-order b -> sorted x).
 
     with_contact=True adds a replicated Stencils argument to the solve
@@ -370,12 +382,23 @@ def halo_pcg_solver(mesh: Mesh, cfg: SchwarzConfig, n: int, halo: int,
         return apply_block_inverse(inv, rhs96)
 
     def local_apply(sap_gnf_l, anc1_l, invf_l, invc, gnc, r_l):
-        # restriction: local fine -> partial coarse, psum to replicate
+        # restriction: local fine -> partial LEVEL-1 vector, psum to
+        # replicate. Fine parents are level-1 nodes only, so the psum
+        # needs just the live level-1 span (+ dump slot), not the whole
+        # capacity-padded coarse vector: at 4M verts the full-vector psum
+        # was 6.7 MB/iter — the dominant comm term of the iteration and
+        # what capped projected multi-host scaling at 77%
+        # (scripts/scaling_model.py); the trimmed span clears >=80%.
         nf = r_l.shape[0]
-        partial = jnp.zeros((total_coarse + 1, 3), r_l.dtype)
-        gnf_l, vals = jax.lax.optimization_barrier((sap_gnf_l, r_l))
+        l1 = total_coarse if l1_live is None else l1_live
+        partial = jnp.zeros((l1 + 1, 3), r_l.dtype)
+        gnf_l, vals = jax.lax.optimization_barrier(
+            (jnp.minimum(sap_gnf_l, l1), r_l)
+        )
         partial = partial.at[gnf_l].add(vals, mode="drop")
-        coarse = jax.lax.psum(partial, axis)
+        psummed = jax.lax.psum(partial, axis)
+        coarse = jnp.zeros((total_coarse + 1, 3), r_l.dtype)
+        coarse = jax.lax.dynamic_update_slice(coarse, psummed[:l1], (0, 0))
         for l in range(1, levels - 1):
             seg = slice(coffs[l - 1], coffs[l])
             parents, v = jax.lax.optimization_barrier((gnc[seg], coarse[seg]))
@@ -393,7 +416,10 @@ def halo_pcg_solver(mesh: Mesh, cfg: SchwarzConfig, n: int, halo: int,
                 jnp.take(pz, gnc[seg], axis=0, mode="fill", fill_value=0)
             )
         if top > 1:
-            zf = zf + jnp.take(pz, anc1_l, axis=0)
+            coarse_term = jnp.take(pz, anc1_l, axis=0)
+            if cfg.coarse_damping != 1.0:
+                coarse_term = coarse_term * cfg.coarse_damping
+            zf = zf + coarse_term
         return zf
 
     row = P(axis)
@@ -462,7 +488,8 @@ def solve_sorted(mesh: Mesh, cfg: SchwarzConfig, halo_sys: HaloSystem,
     solver = halo_pcg_solver(mesh, cfg, n, halo_sys.halo, levels,
                              sap.total_coarse, axis, tol, max_iters,
                              with_contact=stencils is not None,
-                             packed=isinstance(sap.inv_fine, PackedInverse))
+                             packed=isinstance(sap.inv_fine, PackedInverse),
+                             l1_live=sap.l1_live or None)
     extra = () if stencils is None else (stencils,)
     with mesh:
         return solver(

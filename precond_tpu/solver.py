@@ -34,11 +34,24 @@ class SortMaps(NamedTuple):
     orig_to_sorted: jnp.ndarray  # i32[N] (m_mapperOriginalGetSorted)
 
 
-@functools.partial(jax.jit)
-def compute_sort_maps(positions: jnp.ndarray) -> SortMaps:
-    """Morton spatial sort (AllocatePrecoditioner's reorder, cpp:54-63)."""
+@functools.partial(jax.jit, static_argnames=("normalization",))
+def compute_sort_maps(
+    positions: jnp.ndarray, normalization: str = "isotropic"
+) -> SortMaps:
+    """Morton spatial sort (AllocatePrecoditioner's reorder, cpp:54-63).
+
+    normalization="isotropic" (default) divides by the MAX AABB extent so
+    the sort preserves true spatial proximity; "per_axis" reproduces the
+    reference's per-axis unit-cube stretch (FillSortingData, cpp:225-231)
+    which tears contact pairs apart on near-flat configurations — see
+    config.SchwarzConfig.morton_normalization for the measured effect."""
     box = aabb.compute_aabb(positions)
-    unit = aabb.to_unit_cube(positions, box)
+    if normalization == "isotropic":
+        e = box.upper - box.lower
+        ext = jnp.max(e)
+        unit = (positions - box.lower) / jnp.where(ext > 0, ext, 1.0)
+    else:
+        unit = aabb.to_unit_cube(positions, box)
     perm = morton.argsort_morton(unit).astype(jnp.int32)
     return SortMaps(perm, morton.inverse_permutation(perm))
 
@@ -283,7 +296,9 @@ class SchwarzPreconditioner:
         """Per-frame entry; re-sorts space on the configured cadence
         (reference: every 17th frame, cpp:49)."""
         if self.maps is None or self.frame_index % self.cfg.resort_every == 0:
-            self.maps = compute_sort_maps(jnp.asarray(positions))
+            self.maps = compute_sort_maps(
+                jnp.asarray(positions), self.cfg.morton_normalization
+            )
         self.frame_index += 1
 
     def prepare(self, ell: BlockEll, stencils: Optional[Stencils] = None) -> None:

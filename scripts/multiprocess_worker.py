@@ -127,6 +127,7 @@ def main():
         mesh, cfg, n, hsys.halo, levels, sap.total_coarse,
         tol=1e-4, max_iters=200,
         packed=isinstance(sap.inv_fine, _PK),
+        l1_live=sap.l1_live or None,
     )
     with mesh:
         res = solver(ell_parts, sap_parts, bg)

@@ -106,6 +106,7 @@ def main():
         mesh, cfg, n, hsys.halo, levels, sap.total_coarse,
         tol=args.tol, max_iters=400,
         packed=isinstance(sap.inv_fine, PackedInverse),
+        l1_live=sap.l1_live or None,
     )
     with mesh:
         res = solver(ell_parts, sap_parts, bg)   # compile + converge

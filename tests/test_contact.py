@@ -162,3 +162,99 @@ def test_contact_forces_push_apart():
     lower = ~fold & (np.abs(f).max(axis=1) > 1e-6)
     assert f[upper, 2].mean() > 0
     assert f[lower, 2].mean() < 0
+
+
+def _pad_terms(terms, extra):
+    """Append `extra` INVALID pair rows (crosses the big-path threshold
+    without changing the operator)."""
+    import jax.numpy as jnp
+
+    z9 = jnp.zeros((extra, 3, 3), jnp.float32)
+    return terms._replace(
+        pair_a=jnp.concatenate([terms.pair_a, jnp.zeros(extra, jnp.int32)]),
+        pair_b=jnp.concatenate([terms.pair_b, jnp.zeros(extra, jnp.int32)]),
+        pair_mat=jnp.concatenate([terms.pair_mat, z9]),
+        pair_valid=jnp.concatenate(
+            [terms.pair_valid, jnp.zeros(extra, bool)]
+        ),
+    )
+
+
+def test_grid_collision_terms_big_path_matches_small():
+    """The scatter-free segment placement (>32768 pairs) must reproduce
+    the scatter branch exactly (same operator, fp-tolerance association)."""
+    from precond_tpu.config import SchwarzConfig
+    from precond_tpu.ops.gridassembly import grid_collision_terms
+    from precond_tpu.ops.stencils import collision_terms
+    from precond_tpu.utils import gridmorton as gm
+
+    st, n = _folded_stencils(grid=16)
+    cfg = SchwarzConfig()
+    s2o, o2s = gm.sort_maps(4)
+    mapped = st._replace(
+        idx=jnp.where(
+            st.valid[:, None] & (jnp.arange(5) < st.nverts[:, None]),
+            jnp.take(jnp.asarray(o2s), jnp.clip(st.idx, 0, n - 1)), 0,
+        )
+    )
+    terms = collision_terms(mapped)
+    hb2_s, dg_s = jax.jit(
+        lambda t: grid_collision_terms(t, cfg, n)
+    )(terms)
+    assert terms.pair_a.shape[0] <= 32768, "small-path precondition"
+    big = _pad_terms(terms, 40000 - terms.pair_a.shape[0])
+    hb2_b, dg_b = jax.jit(
+        lambda t: grid_collision_terms(t, cfg, n)
+    )(big)
+    scale = max(float(jnp.abs(hb2_s).max()), 1e-12)
+    np.testing.assert_allclose(
+        np.asarray(hb2_b), np.asarray(hb2_s), rtol=0, atol=1e-5 * scale
+    )
+    np.testing.assert_allclose(
+        np.asarray(dg_b), np.asarray(dg_s), rtol=0, atol=1e-5 * scale
+    )
+
+
+def test_assembly_collision_big_path_matches_small():
+    """General-path twin: assemble_banked_hessian with the padded (big)
+    collision set must equal the scatter-branch assembly."""
+    from precond_tpu.config import SchwarzConfig
+    from precond_tpu.models import cloth
+    from precond_tpu.ops.stencils import collision_terms, stencil_pairs
+    from precond_tpu.solver import compute_sort_maps, prepare_with_system
+
+    cfg = SchwarzConfig()
+    mesh = cloth.make_grid(16, 16, z_wave=0.0, mass=0.001)
+    n = mesh.num_verts
+    st, _ = _folded_stencils(grid=16)
+    ell = cloth.assemble_system(mesh)
+    maps = compute_sort_maps(jnp.asarray(mesh.positions))
+
+    from precond_tpu.ops import hierarchy as hi
+    from precond_tpu.ops.assembly import assemble_banked_hessian
+    from precond_tpu.ops.blockcsr import permute
+
+    ell_sorted = permute(ell, maps.sorted_to_orig, maps.orig_to_sorted)
+    mapped = st._replace(
+        idx=jnp.where(
+            st.valid[:, None] & (jnp.arange(5) < st.nverts[:, None]),
+            jnp.take(maps.orig_to_sorted, jnp.clip(st.idx, 0, n - 1)), 0,
+        )
+    )
+    pairs = stencil_pairs(mapped)
+    terms = collision_terms(mapped)
+    hier, mm = hi.build_hierarchy(
+        ell_sorted.idx, ell_sorted.mask, cfg, pairs, with_merge_map=True
+    )
+    h_small = jax.jit(
+        lambda t: assemble_banked_hessian(ell_sorted, hier, cfg, t, merge_map=mm)
+    )(terms)
+    assert terms.pair_a.shape[0] <= 32768, "small-path precondition"
+    big = _pad_terms(terms, 40000 - terms.pair_a.shape[0])
+    h_big = jax.jit(
+        lambda t: assemble_banked_hessian(ell_sorted, hier, cfg, t, merge_map=mm)
+    )(big)
+    scale = max(float(jnp.abs(h_small).max()), 1e-12)
+    np.testing.assert_allclose(
+        np.asarray(h_big), np.asarray(h_small), rtol=0, atol=1e-5 * scale
+    )
