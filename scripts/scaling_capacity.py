@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--grid", type=int, default=2048)
     ap.add_argument("--path", default="gspmd", choices=["gspmd", "halo", "both"])
     ap.add_argument("--max-iters", type=int, default=12)
+    # dense on CPU: interpret-mode Pallas at 131k blocks inlines ~512
+    # unrolled grid steps into the XLA CPU graph and compiles for hours;
+    # the packed halo apply's equivalence is proven at 65k by
+    # tests/test_halo.py — this run is about 4M shapes + collectives.
+    ap.add_argument("--symv", default="dense", choices=["dense", "auto", "packed"])
     args = ap.parse_args()
 
     from jax.sharding import Mesh
@@ -54,7 +59,7 @@ def main():
 
     g = args.grid
     k = g.bit_length() - 1
-    cfg = SchwarzConfig()
+    cfg = SchwarzConfig(symv_kernel=args.symv)
     ndev = 8
     mesh = Mesh(np.array(jax.devices()[:ndev]), ("x",))
     t0 = time.perf_counter()
