@@ -132,8 +132,24 @@ def run_config(config, grid):
         # linear (rest K), corotational (warped stiffness at a twisted
         # state), neohookean (eig-projected SPD Hessian at that state).
         bmat = os.environ.get("BENCH_MATERIAL", "linear")
+
+        # System assembly is the HOST's job in the reference (cpp:67-72)
+        # and sits outside the timed phases; at 64^3 (1.25M tets) the
+        # [T,4,4,3,3] per-element blocks pick a (4,128)-tiled device
+        # layout that pads ~32x (23 GB > HBM), so assemble on the CPU
+        # backend and ship only the compact ELL to the chip.
+        import contextlib
+
+        cpu_dev = jax.devices("cpu")
+        asm_ctx = (
+            jax.default_device(cpu_dev[0])
+            if (cpu_dev and n > (1 << 17) and jax.default_backend() != "cpu")
+            else contextlib.nullcontext()
+        )
         if bmat == "linear":
-            ell = tetmesh.assemble_system(tmesh)
+            with asm_ctx:
+                ell = tetmesh.assemble_system(tmesh)
+            ell = jax.device_put(ell, jax.devices()[0])
         else:
             rest = jnp.asarray(tmesh.positions)
             tets = jnp.asarray(tmesh.tets)

@@ -68,7 +68,9 @@ def test_prepare_debug_checks_fire_on_poisoned_system():
     bad = ell._replace(diag=ell.diag.at[7, 0, 0].set(jnp.nan))
     pre = SchwarzPreconditioner(SchwarzConfig(debug_checks=True))
     pre.allocate(mesh.positions)
-    with pytest.raises(AssertionError, match="non-finite"):
+    # a real exception, not `assert` — the guards survive python -O
+    # (advisor r4)
+    with pytest.raises(ValueError, match="non-finite"):
         pre.prepare(bad)
     # and the same config passes cleanly on the healthy system
     pre.prepare(ell)
