@@ -647,8 +647,14 @@ def run_config(config, grid):
                    tol=1e-4, max_iters=2000, check_every=8)
 
     # Jacobi gets the SAME (fastest available) SpMV — it benchmarks the
-    # preconditioner, not the matrix representation.
-    jac_op = spmv_op if (ssys is not None or bsys is not None) else ell
+    # preconditioner, not the matrix representation. On the general path
+    # that means the SORTED ELL (identical spectrum; the unsorted ELL's
+    # random gathers cost ~2x per iteration, and 544 x ~95 ms unsorted
+    # put the chained jacobi dispatch past the tunnel worker's watchdog
+    # at 1M — reproducible "TPU worker crashed").
+    jac_op = spmv_op if (ssys is not None or bsys is not None) else ells
+    jb = (jnp.transpose(b) if cm_solve
+          else (b if (ssys is not None or bsys is not None) else b_sorted))
 
     if cm_solve:
         # Jacobi rides the same comp-major carries (same SpMV, transpose-
@@ -663,8 +669,12 @@ def run_config(config, grid):
                        lambda r: jnp.einsum("nij,nj->ni", dinv, r), bb,
                        tol=1e-4, max_iters=20000, check_every=8)
 
-    # block-Jacobi of the FULL system (incl. contact diagonal fill-in)
-    jdiag = ell.diag if contact is None else ell.diag + contact.diag
+    # block-Jacobi of the FULL system (incl. contact diagonal fill-in);
+    # diag follows the ordering jacobi actually solves in
+    if ssys is None and bsys is None:
+        jdiag = ells.diag
+    else:
+        jdiag = ell.diag if contact is None else ell.diag + contact.diag
     dinv = jnp.linalg.inv(jdiag)
 
     # Solve walls, dispatch-cancelled by PAIR DIFFERENCING (same trick as
@@ -712,23 +722,37 @@ def run_config(config, grid):
     s1, s2 = solve_jits(schwarz_solve)
     j1, j2 = solve_jits(jacobi_solve)
     sargs = (spmv_op, state, b_iter)
-    jargs = (jac_op, dinv, jnp.transpose(b) if cm_solve else b)
+    jargs = (jac_op, dinv, jb)
     fetch1 = lambda r: r.x[0, :1]  # noqa: E731
     fetch2 = lambda r: r[1].x[0, :1]  # noqa: E731
     phase("compiling solves")
-    rs, _ = timed_once(s1, sargs, fetch1)  # warm/compile
-    rj, _ = timed_once(j1, jargs, fetch1)
-    phase("single solves ran; compiling chained solves")
-    timed_once(s2, sargs, fetch2)
-    timed_once(j2, jargs, fetch2)
+    rs, ts_warm = timed_once(s1, sargs, fetch1)  # warm/compile
+    rs, ts_warm = timed_once(s1, sargs, fetch1)
+    rj, tj_warm = timed_once(j1, jargs, fetch1)
+    # Chained (dispatch-differencing) solves only when the singles are
+    # small enough that (a) the dispatch floor matters (>2% of a 2 s
+    # solve it does not) and (b) the chained dispatch stays well under
+    # the tunnel worker's watchdog (a chained ~50 s jacobi at 1M-general
+    # reproducibly killed the worker).
+    use_chain = (ts_warm + tj_warm) * (CH + 1) < float(
+        os.environ.get("BENCH_CHAIN_MAX_S", "30")
+    )
+    if use_chain:
+        phase("single solves ran; compiling chained solves")
+        timed_once(s2, sargs, fetch2)
+        timed_once(j2, jargs, fetch2)
     phase("chained solves ran; timing reps")
     reps = int(os.environ.get("BENCH_SOLVE_REPS", "5"))
     rep_rows = []
     for _ in range(reps):
         rs, a = timed_once(s1, sargs, fetch1)
         rj, b_ = timed_once(j1, jargs, fetch1)
-        _, c = timed_once(s2, sargs, fetch2)
-        _, d = timed_once(j2, jargs, fetch2)
+        if use_chain:
+            _, c = timed_once(s2, sargs, fetch2)
+            _, d = timed_once(j2, jargs, fetch2)
+        else:
+            # raw walls ARE the measurement: the floor is <2% here
+            c, d = 2 * a, 2 * b_
         rep_rows.append((a, b_, c, d))
     ts1 = min(r[0] for r in rep_rows)
     tj1 = min(r[1] for r in rep_rows)
