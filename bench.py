@@ -338,10 +338,22 @@ def run_config(config, grid):
     # Dispatch-cancelling measurement (VERDICT r1 item 2: "measure prepare
     # inside a small in-jit repeat chain"): the shared chip's per-dispatch
     # + fetch floor varies 0.03-30+ ms per session, so time a 1-prepare
-    # dispatch and a 2-prepare dispatch (second on a perturbed system so
-    # CSE can't collapse them) and difference them; min-of-3 each. The
-    # sync is a SCALAR fetch — fetching a whole array would drag ~100MB
-    # through the tunnel and pollute the timing by seconds.
+    # dispatch and a k-prepare dispatch and difference them; min-of-3.
+    # The k-chain is a LOOP-CARRIED fori_loop, not a Python unroll: the
+    # compile is then the size of ONE prepare (the unrolled 5-chain at
+    # 262k reproducibly exceeded the remote compiler's limits) and only
+    # one prepare's buffers are live at a time, so longer chains average
+    # more noise without HBM pressure. Every input rides through an
+    # IN-LOOP optimization_barrier tied to the loop-carried tap: without
+    # it, XLA hoists any stage whose true inputs are loop-invariant out
+    # of the loop (measured: a tap-on-diag-only chain at 1M reported
+    # ~209 ms/prepare because the 13 direction crossings and the coarse
+    # mask sweeps — which consume only dirs — were hoisted; the honest
+    # number is ~300). The (1 + 1e-30*tap) perturbation is bit-exact in
+    # f32; the full-tensor sum per step consumes every block (no
+    # dead-code slicing) at ~one inverse read of upward bias per
+    # prepare. The sync is a SCALAR fetch — fetching a whole array would
+    # drag ~100MB through the tunnel and pollute the timing by seconds.
     if boxblocks is not None:
         from precond_tpu.ops.boxstencil import BOX_OFFSETS
         from precond_tpu.solver import prepare_box
@@ -352,20 +364,23 @@ def run_config(config, grid):
             return prepare_box(dg, dr, BOX_OFFSETS, bdims, cfg)
 
         def prep_chain(k):
-            # k chained prepares; each re-feeds a scalar of the previous
-            # result through an optimization_barrier so none can CSE, and
-            # a full-tensor sum per round is accumulated into a FETCHED
-            # output so none can be dead-code-sliced to a single block
+            # loop body: EVERY input rides through an in-loop barrier tied
+            # to the loop-carried tap, so no stage (however loop-invariant
+            # its true inputs) can be hoisted out of the loop
             def run(dg, dr):
-                out = prepare_box(dg, dr, BOX_OFFSETS, bdims, cfg)
-                acc = jnp.float32(0)
-                for _ in range(k - 1):
-                    acc = acc + jnp.sum(inv_leaf(out))
-                    dg, dr, _ = jax.lax.optimization_barrier(
-                        (dg, dr, inv_leaf(out)[0, 0, 0])
+                def step(dg_, dr_, tap):
+                    d2, r2 = jax.lax.optimization_barrier(
+                        (dg_ * (1.0 + 1e-30 * tap), dr_)
                     )
-                    out = prepare_box(dg, dr, BOX_OFFSETS, bdims, cfg)
-                return out, acc
+                    return prepare_box(d2, r2, BOX_OFFSETS, bdims, cfg)
+
+                def body(_, tap):
+                    return jnp.sum(inv_leaf(step(dg, dr, tap))).astype(
+                        jnp.float32
+                    )
+
+                tap = jax.lax.fori_loop(0, k - 1, body, jnp.float32(0))
+                return step(dg, dr, tap), tap
 
             return jax.jit(run)
 
@@ -378,21 +393,20 @@ def run_config(config, grid):
             return prepare_grid(dg, dr, goffsets, gmk, cfg, s, o)
 
         def prep_chain(k):
-            # k chained prepares, each sequenced after the previous AND
-            # with every input (incl. the stencils — their collision terms
-            # must not CSE) hidden behind an optimization_barrier; a
-            # full-tensor sum per round lands in a FETCHED output so no
-            # round can be dead-code-sliced to a single block
+            # in-loop barrier over EVERY input (incl. stencils: their
+            # collision placement must re-run per step, not hoist)
             def run(dg, dr, s, o):
-                out = prepare_grid(dg, dr, goffsets, gmk, cfg, s, o)
-                acc = jnp.float32(0)
-                for _ in range(k - 1):
-                    acc = acc + jnp.sum(inv_leaf(out))
-                    dg, dr, s, _ = jax.lax.optimization_barrier(
-                        (dg, dr, s, inv_leaf(out)[0, 0, 0])
+                def step(tap):
+                    d2, r2, s2, o2 = jax.lax.optimization_barrier(
+                        (dg * (1.0 + 1e-30 * tap), dr, s, o)
                     )
-                    out = prepare_grid(dg, dr, goffsets, gmk, cfg, s, o)
-                return out, acc
+                    return prepare_grid(d2, r2, goffsets, gmk, cfg, s2, o2)
+
+                def body(_, tap):
+                    return jnp.sum(inv_leaf(step(tap))).astype(jnp.float32)
+
+                tap = jax.lax.fori_loop(0, k - 1, body, jnp.float32(0))
+                return step(tap), tap
 
             return jax.jit(run)
 
@@ -406,24 +420,25 @@ def run_config(config, grid):
             return prepare_with_system(e, m, cfg, s, analytic_hier=analytic_hier)
 
         def prep_chain(k):
-            # k chained prepares; inputs re-hidden behind a barrier each
-            # round so XLA can CSE nothing (hierarchy, permutes included);
-            # a full-tensor sum per round lands in a FETCHED output so no
-            # round can be dead-code-sliced to a single block
+            # in-loop barrier over EVERY input: the hierarchy build and
+            # index permutes consume only loop-invariant idx/mask and
+            # would otherwise hoist out of the loop entirely
             def run(e, m, s):
-                st, _ = prepare_with_system(
-                    e, m, cfg, s, analytic_hier=analytic_hier
-                )
-                acc = jnp.float32(0)
-                for _ in range(k - 1):
-                    acc = acc + jnp.sum(inv_leaf(st.inv96))
-                    e, m, _ = jax.lax.optimization_barrier(
-                        (e, m, inv_leaf(st.inv96)[0, 0, 0])
+                def step(tap):
+                    e2, m2, s2 = jax.lax.optimization_barrier(
+                        (e._replace(diag=e.diag * (1.0 + 1e-30 * tap)), m, s)
                     )
-                    st, _ = prepare_with_system(
-                        e, m, cfg, s, analytic_hier=analytic_hier
+                    return prepare_with_system(
+                        e2, m2, cfg, s2, analytic_hier=analytic_hier
+                    )[0]
+
+                def body(_, tap):
+                    return jnp.sum(inv_leaf(step(tap).inv96)).astype(
+                        jnp.float32
                     )
-                return st, acc
+
+                tap = jax.lax.fori_loop(0, k - 1, body, jnp.float32(0))
+                return step(tap), tap
 
             return jax.jit(run)
 
@@ -436,11 +451,11 @@ def run_config(config, grid):
     # source in the recorded prepare_ms; the chip is shared)
     # chain length scales down with problem size: >2 chained 1M-vertex
     # prepares exceed 16GB HBM at buffer assignment
-    # 5-chains only below ~128k verts: a 5x-chained 262k-vert prepare_box
-    # compiles for so long the tunneled remote-compile service kills it
-    # (reproducible HTTP 500 at tet:64); 2 chains still difference away
-    # the dispatch floor there
-    PK = int(os.environ.get("BENCH_PREP_CHAIN", "5" if n < (1 << 18) else "2"))
+    # loop-carried chains compile at one-prepare size (the old unrolled
+    # 5-chain at 262k reproducibly exceeded the remote compiler); large
+    # configs still cap the chain so a timed dispatch stays well under
+    # the tunnel worker's watchdog
+    PK = int(os.environ.get("BENCH_PREP_CHAIN", "5" if n < (1 << 18) else "3"))
     prep = prep_chain(1)
     prepk = prep_chain(PK)
 
