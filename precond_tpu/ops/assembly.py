@@ -41,6 +41,9 @@ from .blockcsr import BlockEll
 from .hierarchy import BANK, Hierarchy
 
 ROW = 3 * BANK * 3  # 288 columns per node row
+# pair count above which collision placement switches to the scatter-free
+# segment_place9 form (element-priced scatters dominate above this)
+BIG_PAIR_THRESHOLD = 32768
 _COLS = np.arange(ROW)
 _YCOL = ((_COLS % 96) // 3).astype(np.int32)             # lane (other node % 32)
 _CHUNK = 16384
@@ -120,29 +123,48 @@ def segment_place9(ids: jnp.ndarray, mat9: jnp.ndarray, valid: jnp.ndarray,
     prices per ELEMENT (~11 ns — a [1M,9] row scatter costs 108 ms,
     scripts/probe_scatter_cost.py), so instead sort the rows by target
     (argsort ~1 ms/M), build per-target prefix bounds from a SCALAR
-    histogram (a [P,1] scatter is 16x cheaper than [P,9]), one cumulative
-    sum over the sorted payloads, and read each target's segment off as a
-    boundary difference — everything else streams. ~3x cheaper than the
-    direct row scatter at the collide-config's ~1M pair payloads, and the
-    result is a dense array that ADDs into the banked table for free.
+    histogram (a [P,1] scatter is 16x cheaper than [P,9]), run a
+    SEGMENTED scan over the sorted payloads, and read each segment's
+    total at its end position — everything else streams. ~3x cheaper
+    than the direct row scatter at the collide-config's ~1M pair
+    payloads, and the result is a dense array that ADDs into the banked
+    table for free.
 
-    fp note: each target's sum accumulates in sorted-run order as a
-    cumsum difference (exact f32 adds, different association than the
-    scatter form — tests compare at tolerance).
+    fp note: the scan is SEGMENTED (associative_scan with a reset flag
+    at each run start), NOT a global cumsum differenced at boundaries.
+    The difference form's error is ABSOLUTE in the running-sum magnitude
+    (~|prefix| * eps): at contact stiffness 1e4 the prefix reaches ~1e6
+    and small entries (mass-scale diagonals ~3.6) absorbed +-26 of
+    noise — the factorized M stalled CG at 6000+ iterations where the
+    scatter build converged in 504 (measured r5). The segmented scan
+    only ever adds values of the SAME segment, so per-segment accuracy
+    matches the scatter form's up to association order.
     """
     p = ids.shape[0]
     tgt = jnp.where(valid, ids, size)
     order = jnp.argsort(tgt).astype(jnp.int32)
+    tgt_s = jnp.take(tgt, order)
     m_s = jnp.take(mat9, order, axis=0)
-    csum = jnp.concatenate(
-        [jnp.zeros((1, 9), jnp.float32), jnp.cumsum(m_s, axis=0)], axis=0
+    # run starts: first position of each equal-target run
+    start = jnp.concatenate(
+        [jnp.ones((1,), bool), tgt_s[1:] != tgt_s[:-1]]
     )
+
+    def comb(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb[:, None], vb, va + vb), fa | fb
+
+    seg, _ = jax.lax.associative_scan(comb, (m_s, start))
     counts = jnp.zeros((size + 1,), jnp.int32).at[tgt].add(1, mode="drop")
     bounds = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts[:size])]
     )
-    cb = jnp.take(csum, bounds, axis=0)                   # [size+1, 9]
-    return cb[1:] - cb[:-1]
+    # segment m's total sits at its END position bounds[m+1]-1; empty
+    # segments would read a neighbor's total — mask them off
+    segp = jnp.concatenate([jnp.zeros((1, 9), jnp.float32), seg], axis=0)
+    out = jnp.take(segp, bounds[1:], axis=0)              # [size, 9]
+    return jnp.where((counts[:size] > 0)[:, None], out, 0.0)
 
 
 class CollisionTerms(NamedTuple):
@@ -263,7 +285,7 @@ def assemble_banked_hessian(
         pmy = jnp.take(gn, jnp.minimum(my_c, total))
         pot = jnp.take(gn, jnp.minimum(ot_c, total))
         ok_up = okc & (pmy < total)
-        big = int(collisions.pair_a.shape[0]) > 32768
+        big = int(collisions.pair_a.shape[0]) > BIG_PAIR_THRESHOLD
         if big:
             # scatter-free placement (segment_place9): at the collide
             # config's ~1M pairs the [P,288] row scatters + [9P] scalar

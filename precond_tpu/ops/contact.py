@@ -266,7 +266,16 @@ def build_contact_slots(st: Stencils, n: int) -> ContactSlots:
 
 
 def _slot_apply(cs: ContactSlots, x: jnp.ndarray) -> jnp.ndarray:
-    """Core wide-gather apply: x f32[N,3] -> y planes f32[3,N]."""
+    """Core wide-gather apply: x f32[N,3] -> y planes f32[3,N].
+
+    fp note: the per-row segments are read off a GLOBAL cumsum as
+    boundary differences, whose error is absolute in the running-sum
+    magnitude (~|prefix| * eps). That was fatal for the PREPARE-side
+    placement (it feeds a factorization — see assembly.segment_place9's
+    segmented scan); here the error is remade fresh each iteration and
+    perturbs only the SpMV product: measured identical CG iteration
+    counts vs the scatter form up to contact stiffness 1e4. Revisit with
+    the segmented scan if ever used at penalty stiffness >> 1e5."""
     s = cs.w5.shape[0]
     xs = jnp.take(x, cs.ids, axis=0).reshape(s, 5, 3)     # ONE wide gather
     t = jnp.einsum("sv,svk,sk->s", cs.w5, xs, cs.d)

@@ -219,7 +219,9 @@ def grid_collision_terms(
     merged = ((my // BANK) == (ot // BANK)) & (lam < levels) & (my < total)
     okc = merged & collisions.pair_valid
     pm9 = collisions.pair_mat.reshape(-1, 9)
-    big = int(collisions.pair_a.shape[0]) > 32768
+    from .assembly import BIG_PAIR_THRESHOLD
+
+    big = int(collisions.pair_a.shape[0]) > BIG_PAIR_THRESHOLD
 
     def scat(h, node, lane, m9, ok):
         tgt = jnp.where(ok, node * BANK + lane, total * BANK)

@@ -206,12 +206,18 @@ def test_grid_collision_terms_big_path_matches_small():
     hb2_b, dg_b = jax.jit(
         lambda t: grid_collision_terms(t, cfg, n)
     )(big)
+    # TIGHT tolerance on purpose: the first segment_place9 (global-cumsum
+    # boundary differences) carried absolute error ~|running prefix|*eps
+    # (~8e-6 of the max entry) that 1e-5*scale masked — and that error
+    # corrupted mass-scale diagonals enough to stall CG at contact
+    # stiffness 1e4. The segmented scan matches the scatter build to
+    # association-order rounding.
     scale = max(float(jnp.abs(hb2_s).max()), 1e-12)
     np.testing.assert_allclose(
-        np.asarray(hb2_b), np.asarray(hb2_s), rtol=0, atol=1e-5 * scale
+        np.asarray(hb2_b), np.asarray(hb2_s), rtol=0, atol=1e-6 * scale
     )
     np.testing.assert_allclose(
-        np.asarray(dg_b), np.asarray(dg_s), rtol=0, atol=1e-5 * scale
+        np.asarray(dg_b), np.asarray(dg_s), rtol=0, atol=1e-6 * scale
     )
 
 
@@ -256,5 +262,5 @@ def test_assembly_collision_big_path_matches_small():
     )(big)
     scale = max(float(jnp.abs(h_small).max()), 1e-12)
     np.testing.assert_allclose(
-        np.asarray(h_big), np.asarray(h_small), rtol=0, atol=1e-5 * scale
+        np.asarray(h_big), np.asarray(h_small), rtol=0, atol=1e-6 * scale
     )
