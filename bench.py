@@ -709,7 +709,13 @@ def run_config(config, grid):
     # far above the floor — and a CH=5-solve jacobi chain at contact
     # stiffness would put minutes into ONE dispatch, which the tunnel's
     # worker watchdog kills ("TPU worker process crashed").
-    ch_default = "4" if (config == "cloth" and n <= (1 << 18)) else "1"
+    # chain 4 for every config up to ~262k verts: 1-chain differencing of
+    # ~1 s solves against the spiky floor swung tet:48 1.74 <-> 3.80
+    # across same-code sessions (r5). The use_chain guard below falls
+    # back to RAW walls whenever the chained dispatch would approach the
+    # worker watchdog, so long-solve configs (collide, general:1024)
+    # self-select out.
+    ch_default = "4" if n <= (1 << 18) else "1"
     CH = int(os.environ.get("BENCH_SOLVE_CHAIN", ch_default))
 
     def solve_jits(solve_fn):
@@ -767,7 +773,8 @@ def run_config(config, grid):
             _, d = timed_once(j2, jargs, fetch2)
         else:
             # raw walls ARE the measurement: the floor is <2% here
-            c, d = 2 * a, 2 * b_
+            # (shaped so (c - a) / CH == a for any CH)
+            c, d = (1 + CH) * a, (1 + CH) * b_
         rep_rows.append((a, b_, c, d))
     ts1 = min(r[0] for r in rep_rows)
     tj1 = min(r[1] for r in rep_rows)
